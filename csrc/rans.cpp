@@ -1,0 +1,208 @@
+// rANS entropy coder for the TPU camera-imaging engine.
+//
+// TPU-native equivalent of the compiled range coder the reference stack
+// depends on (CompressAI `BufferedRansEncoder`/`RansDecoder`, used at
+// reference tcm.py:531-567,606-623 and raw2bit.py:1921-1958,1996-2023).
+// Runs on the host CPU after the device pass; exposed to Python via ctypes
+// (no pybind11 in this image).
+//
+// Scheme: byte-oriented rANS, 32-bit state, 16-bit probability precision.
+// Out-of-range symbols escape to the table's final slot and append their
+// overflow with bypass (uniform) coding in 4-bit chunks, so any int32 symbol
+// round-trips. Encoding walks the symbol list in reverse so a streaming
+// decoder reads the byte stream forward slice by slice (required by the
+// ChARM decode loop's 5 device<->host round trips, SURVEY.md §3.4).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kPrecision = 16;
+constexpr uint32_t kProbScale = 1u << kPrecision;
+constexpr uint32_t kLow = 1u << 23;  // renorm interval [kLow, kLow << 8)
+constexpr int kBypassBits = 4;
+constexpr uint32_t kBypassMax = (1u << kBypassBits) - 1;
+
+class Encoder {
+ public:
+  std::vector<uint8_t> bytes;  // produced back-to-front; reversed at flush
+  uint32_t s = kLow;
+
+  inline void put(uint32_t start, uint32_t freq) {
+    const uint32_t x_max = ((kLow >> kPrecision) << 8) * freq;
+    while (s >= x_max) {
+      bytes.push_back(static_cast<uint8_t>(s & 0xff));
+      s >>= 8;
+    }
+    s = ((s / freq) << kPrecision) + (s % freq) + start;
+  }
+
+  inline void put_bypass(uint32_t val) {  // val < 2^kBypassBits
+    put(val << (kPrecision - kBypassBits), kProbScale >> kBypassBits);
+  }
+
+  void flush(std::vector<uint8_t>* out) {
+    for (int i = 0; i < 4; ++i) {
+      bytes.push_back(static_cast<uint8_t>(s & 0xff));
+      s >>= 8;
+    }
+    out->assign(bytes.rbegin(), bytes.rend());
+  }
+};
+
+class Decoder {
+ public:
+  std::vector<uint8_t> bytes;
+  size_t pos = 0;
+  uint32_t s = 0;
+
+  void init(const uint8_t* data, size_t n) {
+    bytes.assign(data, data + n);
+    pos = 0;
+    s = 0;
+    for (int i = 0; i < 4; ++i) {
+      s = (s << 8) | (pos < bytes.size() ? bytes[pos++] : 0);
+    }
+  }
+
+  inline uint32_t peek() const { return s & (kProbScale - 1); }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    s = freq * (s >> kPrecision) + (s & (kProbScale - 1)) - start;
+    while (s < kLow) {
+      s = (s << 8) | (pos < bytes.size() ? bytes[pos++] : 0);
+    }
+  }
+
+  inline uint32_t get_bypass() {
+    const uint32_t val = peek() >> (kPrecision - kBypassBits);
+    advance(val << (kPrecision - kBypassBits), kProbScale >> kBypassBits);
+    return val;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode n symbols. cdfs: (num_tables, cdf_stride) row-major quantized CDFs;
+// for table t, cdf[0]=0 .. cdf[L-1]=2^16 with L = cdf_lengths[t]; bucket
+// L-2 is the escape slot. offsets[t] maps symbol -> bucket.
+// Returns bytes written, or -1 if capacity was insufficient.
+int64_t rans_encode_with_indexes(
+    const int32_t* symbols, const int32_t* indexes, int64_t n,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, uint8_t* out, int64_t capacity) {
+  Encoder enc;
+  enc.bytes.reserve(static_cast<size_t>(n) * 2 + 16);
+
+  // rANS encodes in reverse symbol order; within one symbol, ops are emitted
+  // in reverse of the decoder's read order.
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t t = indexes[i];
+    const uint32_t* cdf = cdfs + t * cdf_stride;
+    const int64_t max_value = cdf_lengths[t] - 2;
+    int64_t value = static_cast<int64_t>(symbols[i]) - offsets[t];
+    int64_t raw = -1;
+    if (value < 0) {
+      raw = -2 * value - 1;
+      value = max_value;
+    } else if (value >= max_value) {
+      raw = 2 * (value - max_value);
+      value = max_value;
+    }
+
+    if (raw >= 0) {
+      // Decoder reads: count chunks (sum until chunk < kBypassMax), then
+      // payload chunks high-to-low. Encoder emits the exact reverse:
+      // payload low-to-high, then count terminator, then full count chunks.
+      const uint64_t uraw = static_cast<uint64_t>(raw);
+      int n_chunks = 0;
+      uint64_t tmp = uraw;
+      do {
+        ++n_chunks;
+        tmp >>= kBypassBits;
+      } while (tmp != 0);
+      for (int c = 0; c < n_chunks; ++c) {
+        enc.put_bypass(static_cast<uint32_t>((uraw >> (c * kBypassBits)) & kBypassMax));
+      }
+      const int32_t cnt = n_chunks - 1;
+      enc.put_bypass(static_cast<uint32_t>(cnt % static_cast<int32_t>(kBypassMax)));
+      for (int c = 0; c < cnt / static_cast<int32_t>(kBypassMax); ++c) {
+        enc.put_bypass(kBypassMax);
+      }
+    }
+
+    const uint32_t start = cdf[value];
+    const uint32_t freq = cdf[value + 1] - start;
+    enc.put(start, freq);
+  }
+
+  std::vector<uint8_t> out_vec;
+  enc.flush(&out_vec);
+  if (static_cast<int64_t>(out_vec.size()) > capacity) return -1;
+  std::memcpy(out, out_vec.data(), out_vec.size());
+  return static_cast<int64_t>(out_vec.size());
+}
+
+void* rans_decoder_new(const uint8_t* data, int64_t n) {
+  Decoder* d = new Decoder();
+  d->init(data, static_cast<size_t>(n));
+  return d;
+}
+
+void rans_decoder_free(void* handle) { delete static_cast<Decoder*>(handle); }
+
+// Decode n symbols with per-symbol table indexes; streaming (the handle keeps
+// rANS state between calls so the ChARM loop can interleave device work).
+void rans_decode_stream(
+    void* handle, const int32_t* indexes, int64_t n,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t* out) {
+  Decoder* dec = static_cast<Decoder*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t t = indexes[i];
+    const uint32_t* cdf = cdfs + t * cdf_stride;
+    const int32_t L = cdf_lengths[t];
+    const int64_t max_value = L - 2;
+    const uint32_t cum = dec->peek();
+    int32_t lo = 0, hi = L - 1;  // binary search: cdf[lo] <= cum < cdf[hi]
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) / 2;
+      if (cdf[mid] <= cum) lo = mid; else hi = mid;
+    }
+    int64_t value = lo;
+    dec->advance(cdf[value], cdf[value + 1] - cdf[value]);
+    if (value == max_value) {
+      int32_t cnt = 0;
+      uint32_t chunk = dec->get_bypass();
+      cnt += static_cast<int32_t>(chunk);
+      while (chunk == kBypassMax) {
+        chunk = dec->get_bypass();
+        cnt += static_cast<int32_t>(chunk);
+      }
+      const int n_chunks = cnt + 1;
+      uint64_t uraw = 0;
+      for (int c = n_chunks - 1; c >= 0; --c) {
+        uraw |= static_cast<uint64_t>(dec->get_bypass()) << (c * kBypassBits);
+      }
+      const int64_t rv = static_cast<int64_t>(uraw);
+      value = (rv & 1) ? -((rv + 1) >> 1) : max_value + (rv >> 1);
+    }
+    out[i] = static_cast<int32_t>(value + offsets[t]);
+  }
+}
+
+// One-shot convenience decode.
+void rans_decode_with_indexes(
+    const uint8_t* data, int64_t nbytes, const int32_t* indexes, int64_t n,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t* out) {
+  Decoder dec;
+  dec.init(data, static_cast<size_t>(nbytes));
+  rans_decode_stream(&dec, indexes, n, cdfs, cdf_stride, cdf_lengths, offsets, out);
+}
+
+}  // extern "C"

@@ -1,0 +1,216 @@
+"""Host-side bitstream codec for ChARM models (TCM + raw2bit family).
+
+Orchestrates the device (jit) <-> host (C++ rANS) choreography of the
+reference's compress/decompress (`tcm.py:511-637`, `raw2bit.py:1876-2025`):
+device computes transforms and entropy parameters, host runs the range coder.
+The decode path necessarily does num_slices device<->host round trips (each
+slice's mu/scale depend on previously decoded slices, SURVEY.md §3.4).
+
+Works with any flax model exposing: h_synth, g_s, slice_params, slice_lrp,
+eb_medians, eb_pmf_params (TCM and the raw2bit variants all do).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realcamnet_tpu.entropy import coder as rans
+from realcamnet_tpu.entropy.cdf import build_cdf_tables
+from realcamnet_tpu.entropy.models import SCALES_MIN, get_scale_table
+
+_erfc = np.vectorize(math.erfc)
+
+
+def _norm_cdf(x: np.ndarray) -> np.ndarray:
+    return 0.5 * _erfc(-x / math.sqrt(2.0))
+
+
+@dataclasses.dataclass
+class CdfTables:
+    cdfs: np.ndarray         # (T, stride) uint32
+    cdf_lengths: np.ndarray  # (T,) int32
+    offsets: np.ndarray      # (T,) int32
+
+
+def build_gaussian_tables(scale_table: Optional[np.ndarray] = None,
+                          tail_mass: float = 1e-9) -> CdfTables:
+    """Quantized CDFs per scale-table entry (CompressAI
+    GaussianConditional.update semantics; scale table `tcm.py:26-34`)."""
+    if scale_table is None:
+        scale_table = get_scale_table()
+    scale_table = np.asarray(scale_table, np.float64)
+    # multiplier = -Phi^{-1}(tail_mass / 2): symbol range covering 1-tail_mass.
+    multiplier = math.sqrt(2.0) * _erfcinv(tail_mass)
+    pmf_center = np.ceil(scale_table * multiplier).astype(np.int64)
+    pmf_lengths = 2 * pmf_center + 1
+    max_len = int(pmf_lengths.max())
+    samples = np.abs(np.arange(max_len)[None, :] - pmf_center[:, None]).astype(np.float64)
+    upper = _norm_cdf((0.5 - samples) / scale_table[:, None])
+    lower = _norm_cdf((-0.5 - samples) / scale_table[:, None])
+    pmf = upper - lower
+    tail = 2 * lower[:, :1]
+    cdfs, cdf_lengths, offsets = build_cdf_tables(pmf, tail[:, 0], pmf_lengths,
+                                                  -pmf_center)
+    return CdfTables(cdfs, cdf_lengths, offsets)
+
+
+def _erfcinv(y: float) -> float:
+    """Inverse complementary error function (scalar, bisection: erfc is
+    monotone decreasing; robust in the deep tail where Newton diverges)."""
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if math.erfc(mid) > y:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def build_factorized_tables(pmf: np.ndarray, tail: np.ndarray,
+                            offsets: np.ndarray, pmf_lengths: np.ndarray) -> CdfTables:
+    """Tables from EntropyBottleneck.pmf_params output (one table/channel)."""
+    cdfs, cdf_lengths, offs = build_cdf_tables(np.asarray(pmf), np.asarray(tail),
+                                               np.asarray(pmf_lengths),
+                                               np.asarray(offsets))
+    return CdfTables(cdfs, cdf_lengths, offs)
+
+
+def build_indexes_np(scales: np.ndarray, scale_table: np.ndarray) -> np.ndarray:
+    s = np.maximum(np.asarray(scales, np.float64), SCALES_MIN)
+    return (s[..., None] > np.asarray(scale_table[:-1], np.float64)).sum(-1).astype(np.int32)
+
+
+class ChARMCodec:
+    """compress()/decompress() for a bound (model, params) pair.
+
+    `update()` builds the integer CDF tables (must be called first — the
+    reference's `.update()` contract, `tcm.py:430-435`).
+    """
+
+    def __init__(self, model, params, num_slices: Optional[int] = None):
+        self.model = model
+        self.params = params
+        self.num_slices = num_slices if num_slices is not None else model.num_slices
+        self.scale_table = get_scale_table()
+        self.gauss: Optional[CdfTables] = None
+        self.fact: Optional[CdfTables] = None
+        # All device work is jitted (eager flax apply dispatches op-by-op,
+        # which is pathologically slow through remote-dispatch backends).
+        self._h_synth = jax.jit(lambda p, z: model.apply(p, z, method="h_synth"))
+        self._slice_params = jax.jit(
+            lambda p, m, s, sup, i: model.apply(p, m, s, sup, i, method="slice_params"),
+            static_argnames=("i",))
+        self._slice_lrp = jax.jit(
+            lambda p, ms, yh, i: model.apply(p, ms, yh, i, method="slice_lrp"),
+            static_argnames=("i",))
+
+    def update(self):
+        self.gauss = build_gaussian_tables()
+        pmf, tail, offsets, pmf_lengths = jax.device_get(
+            jax.jit(lambda p: self.model.apply(p, method="eb_pmf_params"))(self.params))
+        self.fact = build_factorized_tables(pmf, tail, offsets, pmf_lengths)
+        self._medians = np.asarray(jax.device_get(
+            jax.jit(lambda p: self.model.apply(p, method="eb_medians"))(self.params)),
+            np.float64)
+
+    # ---- factorized (z) coding ----
+
+    def compress_z(self, z: np.ndarray) -> bytes:
+        """z: (1, Hz, Wz, C) -> one rANS string."""
+        assert z.shape[0] == 1
+        c = z.shape[-1]
+        sym = np.round(np.asarray(z[0], np.float64) - self._medians).astype(np.int32)
+        idx = np.broadcast_to(np.arange(c, dtype=np.int32), sym.shape)
+        # Channel-major order so decode can reshape deterministically.
+        sym = sym.transpose(2, 0, 1).reshape(-1)
+        idx = idx.transpose(2, 0, 1).reshape(-1)
+        return rans.encode_with_indexes(sym, idx, self.fact.cdfs,
+                                        self.fact.cdf_lengths, self.fact.offsets)
+
+    def decompress_z(self, data: bytes, shape: Tuple[int, int], c: int) -> np.ndarray:
+        hz, wz = shape
+        idx = np.repeat(np.arange(c, dtype=np.int32), hz * wz)
+        sym = rans.decode_with_indexes(data, idx, self.fact.cdfs,
+                                       self.fact.cdf_lengths, self.fact.offsets)
+        z_hat = sym.reshape(c, hz, wz).transpose(1, 2, 0).astype(np.float32)
+        return (z_hat + self._medians.astype(np.float32))[None]
+
+    # ---- joint ChARM coding (y given z) ----
+
+    def compress_y(self, y, latent_means, latent_scales) -> bytes:
+        """y: (1, Hy, Wy, M) device array. Buffers all slices, single flush
+        (`tcm.py:536-567`)."""
+        y = jnp.asarray(y)
+        slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices: List[jnp.ndarray] = []
+        symbols_list, indexes_list = [], []
+        for i, y_slice in enumerate(slices):
+            mu, scale, mean_support = self._slice_params(
+                self.params, latent_means, latent_scales, y_hat_slices, i=i)
+            scale_np = np.asarray(jax.device_get(scale), np.float32)
+            idx = build_indexes_np(scale_np, self.scale_table)
+            sym = np.round(np.asarray(jax.device_get(y_slice - mu), np.float64)).astype(np.int32)
+            symbols_list.append(sym.reshape(-1))
+            indexes_list.append(idx.reshape(-1))
+            y_hat_slice = jnp.asarray(sym, jnp.float32) + mu
+            lrp = self._slice_lrp(self.params, mean_support, y_hat_slice, i=i)
+            y_hat_slices.append(y_hat_slice + lrp)
+        symbols = np.concatenate(symbols_list)
+        indexes = np.concatenate(indexes_list)
+        return rans.encode_with_indexes(symbols, indexes, self.gauss.cdfs,
+                                        self.gauss.cdf_lengths, self.gauss.offsets)
+
+    def decompress_y(self, data: bytes, latent_means, latent_scales,
+                     y_shape: Tuple[int, int]):
+        """Streaming decode: num_slices device<->host round trips."""
+        dec = rans.RansDecoder()
+        dec.set_stream(data)
+        y_hat_slices: List[jnp.ndarray] = []
+        for i in range(self.num_slices):
+            mu, scale, mean_support = self._slice_params(
+                self.params, latent_means, latent_scales, y_hat_slices, i=i)
+            scale_np = np.asarray(jax.device_get(scale), np.float32)
+            idx = build_indexes_np(scale_np, self.scale_table)
+            sym = dec.decode_stream(idx.reshape(-1), self.gauss.cdfs,
+                                    self.gauss.cdf_lengths, self.gauss.offsets)
+            rv = jnp.asarray(sym.reshape(scale_np.shape), jnp.float32)
+            y_hat_slice = rv + mu
+            lrp = self._slice_lrp(self.params, mean_support, y_hat_slice, i=i)
+            y_hat_slices.append(y_hat_slice + lrp)
+        dec.close()
+        return jnp.concatenate(y_hat_slices, axis=-1)
+
+    # ---- full pipelines ----
+
+    def compress(self, *model_inputs, encode_method: str = "encode"):
+        """Run the model's analysis (method `encode_method` -> (y, z)), then
+        code z and y. Returns {"strings": [[y_str], [z_str]], "shape": (Hz,Wz)}."""
+        assert self.fact is not None, "call update() first"
+        y, z = jax.jit(
+            lambda p, *a: self.model.apply(p, *a, method=encode_method))(
+                self.params, *model_inputs)
+        z_np = np.asarray(jax.device_get(z))
+        z_str = self.compress_z(z_np)
+        z_hat = jnp.asarray(self.decompress_z(z_str, z_np.shape[1:3], z_np.shape[-1]))
+        latent_means, latent_scales = self._h_synth(self.params, z_hat)
+        y_str = self.compress_y(y, latent_means, latent_scales)
+        return {"strings": [[y_str], [z_str]], "shape": z_np.shape[1:3]}
+
+    def decompress(self, strings, shape, z_channels: int = 192,
+                   decode_method: str = "g_s"):
+        assert self.fact is not None, "call update() first"
+        z_hat = jnp.asarray(self.decompress_z(strings[1][0], shape, z_channels))
+        latent_means, latent_scales = self._h_synth(self.params, z_hat)
+        y_shape = (shape[0] * 4, shape[1] * 4)
+        y_hat = self.decompress_y(strings[0][0], latent_means, latent_scales, y_shape)
+        x_hat = jax.jit(
+            lambda p, yh: self.model.apply(p, yh, method=decode_method))(
+                self.params, y_hat)
+        return {"x_hat": jnp.clip(x_hat, 0.0, 1.0)}

@@ -1,0 +1,194 @@
+"""Swin window multi-head self-attention, TPU-native.
+
+Reference: `models/tcm.py:139-236` (WMSA + Block) and `tcm.py:293-312`
+(SwinBlock W+SW pair). Semantics preserved: 8x8 (or 4x4) windows, learned
+relative-position bias table of (2w-1)^2 entries per head, cyclic shift +
+boolean masking for the 'SW' type. TPU-first details:
+
+- NHWC layout; windows flattened into the batch dimension so the per-window
+  (p^2 x p^2) attention matmuls batch onto the MXU.
+- The SW attention mask depends only on the *static* padded (H, W), so it is
+  built with numpy at trace time and constant-folded — no data-dependent
+  control flow under jit (the reference builds it per forward on device,
+  `tcm.py:160-177`).
+- Inputs whose H/W are not window multiples are zero-padded and cropped back
+  (the reference's pad branch is buggy dead code, SURVEY.md §0.1 — it returns
+  enlarged outputs; we pad/unpad correctly). Padded rows attend within their
+  own window only; the result on real pixels matches the reference whenever
+  the reference is well-defined (window-multiple inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+@functools.lru_cache(maxsize=64)
+def _relative_index(window: int) -> np.ndarray:
+    """(p^2, p^2, 2) int index into the (2w-1, 2w-1) bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    rel = coords[:, None, :] - coords[None, :, :] + window - 1
+    return rel
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_mask(h_windows: int, w_windows: int, window: int, shift: int) -> np.ndarray:
+    """Additive attention mask (nW, p^2, p^2): 0 allowed, -inf masked.
+
+    Matches `WMSA.generate_mask` (`tcm.py:160-177`): after rolling by -shift,
+    the last window row/col contain wrapped content that must not attend
+    across the wrap seam.
+    """
+    p = window
+    mask = np.zeros((h_windows, w_windows, p, p, p, p), dtype=bool)
+    s = p - shift
+    mask[-1, :, :s, :, s:, :] = True
+    mask[-1, :, s:, :, :s, :] = True
+    mask[:, -1, :, :s, :, s:] = True
+    mask[:, -1, :, s:, :, :s] = True
+    mask = mask.reshape(h_windows * w_windows, p * p, p * p)
+    return np.where(mask, -np.inf, 0.0).astype(np.float32)
+
+
+class WMSA(nn.Module):
+    """Window MSA (reference `tcm.py:139-212`). Input/output (B, H, W, C)."""
+
+    dim: int
+    head_dim: int
+    window_size: int
+    shifted: bool = False
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = self.window_size
+        n_heads = self.dim // self.head_dim
+        shift = p // 2 if self.shifted else 0
+
+        pad_h = (p - h % p) % p
+        pad_w = (p - w % p) % p
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+
+        hw, ww = hp // p, wp // p
+        # (B, hw, p, ww, p, C) -> (B, hw*ww, p*p, C)
+        xw = x.reshape(b, hw, p, ww, p, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b, hw * ww, p * p, c)
+
+        qkv = nn.Dense(3 * self.dim, param_dtype=self.param_dtype,
+                       dtype=x.dtype, name="qkv")(xw)
+        qkv = qkv.reshape(b, hw * ww, p * p, 3, n_heads, self.head_dim)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # (B, nW, heads, p^2, hd)
+        q = q.transpose(0, 1, 3, 2, 4)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+
+        scale = self.head_dim ** -0.5
+        sim = jnp.einsum("bwhpc,bwhqc->bwhpq", q, k,
+                         preferred_element_type=jnp.float32) * scale
+
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (2 * p - 1, 2 * p - 1, n_heads), self.param_dtype,
+        )
+        idx = _relative_index(p)
+        bias = table[idx[..., 0], idx[..., 1]]  # (p^2, p^2, heads)
+        sim = sim + bias.transpose(2, 0, 1)[None, None].astype(sim.dtype)
+
+        if shift:
+            mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
+            sim = sim + mask[None, :, None, :, :]
+
+        probs = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bwhpq,bwhqc->bwhpc", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, hw * ww, p * p, self.dim)
+        out = nn.Dense(self.dim, param_dtype=self.param_dtype, dtype=x.dtype,
+                       name="proj")(out)
+
+        out = out.reshape(b, hw, ww, p, p, self.dim).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, hp, wp, self.dim)
+        if shift:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            out = out[:, :h, :w, :]
+        return out
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SwinTransformerBlock(nn.Module):
+    """LN -> WMSA -> residual(+DropPath); LN -> MLP(4x, GELU) -> residual.
+
+    Reference `Block`, `tcm.py:214-236`. Operates on (B, H, W, C).
+    """
+
+    dim: int
+    head_dim: int
+    window_size: int
+    shifted: bool = False
+    drop_path_rate: float = 0.0
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def dp(y):
+            if self.drop_path_rate > 0.0 and train:
+                return drop_path(y, self.drop_path_rate, False,
+                                 self.make_rng("dropout"))
+            return y
+
+        h = nn.LayerNorm(param_dtype=self.param_dtype, dtype=x.dtype, name="ln1")(x)
+        x = x + dp(WMSA(self.dim, self.head_dim, self.window_size,
+                        self.shifted, self.param_dtype, name="msa")(h))
+        h = nn.LayerNorm(param_dtype=self.param_dtype, dtype=x.dtype, name="ln2")(x)
+        h = nn.Dense(4 * self.dim, param_dtype=self.param_dtype, dtype=x.dtype,
+                     name="mlp0")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, param_dtype=self.param_dtype, dtype=x.dtype,
+                     name="mlp1")(h)
+        return x + dp(h)
+
+
+class SwinBlockPair(nn.Module):
+    """W + SW SwinTransformerBlock pair (reference `SwinBlock`,
+    `tcm.py:293-312`; its pad branch is fixed here per SURVEY.md §0.1)."""
+
+    dim: int
+    head_dim: int
+    window_size: int
+    drop_path_rate: float = 0.0
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SwinTransformerBlock(self.dim, self.head_dim, self.window_size,
+                                 False, self.drop_path_rate, self.param_dtype,
+                                 name="w")(x, train=train)
+        return SwinTransformerBlock(self.dim, self.head_dim, self.window_size,
+                                    True, self.drop_path_rate, self.param_dtype,
+                                    name="sw")(x, train=train)

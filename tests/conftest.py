@@ -1,0 +1,21 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set env before JAX initializes (standard way to test pjit/sharding logic
+without a pod).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The baked axon sitecustomize force-registers the TPU platform and overrides
+# jax_platforms at interpreter start; undo it before any jax computation.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
