@@ -1,0 +1,282 @@
+"""`rcn` command-line interface: train / eval-rd / compress / decompress /
+bench / models (the L6 experiment harness the reference lacks, SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import sys
+import time
+
+
+def _models():
+    from realcamnet_tpu.models.liteisp import ISP_MODELS
+    from realcamnet_tpu.models.raw2bit import RAW2BIT_MODELS
+
+    return ISP_MODELS, RAW2BIT_MODELS
+
+
+def _build_model(name: str, **kw):
+    isp, r2b = _models()
+    if name in r2b:
+        return r2b[name](**kw), "raw2bit"
+    if name in isp:
+        return isp[name](), "isp"
+    raise SystemExit(f"unknown model {name!r}; run `rcn models`")
+
+
+def cmd_models(args):
+    isp, r2b = _models()
+    print("# Joint RAW->bitstream models (raw2bit):")
+    for k in sorted(r2b):
+        print(" ", k)
+    print("# ISP models (RAW->sRGB):")
+    for k in sorted(isp):
+        print(" ", k)
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realcamnet_tpu.data.dataset import (
+        PairedRawDataset,
+        prefetch_to_device,
+        synthetic_batch,
+    )
+    from realcamnet_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from realcamnet_tpu.train.isp import TrainState, make_isp_train_step
+    from realcamnet_tpu.train.rd import make_rd_optimizer, make_rd_train_step
+    from realcamnet_tpu.train.schedules import make_schedule
+
+    model, kind = _build_model(args.model)
+    patch = args.patch
+
+    def batches():
+        if args.data == "synthetic":
+            for step in range(args.steps):
+                yield synthetic_batch(step, args.batch_size, patch)
+        else:
+            ds = PairedRawDataset(args.data, patch=patch, seed=0)
+            yield from ds.batches(args.batch_size, args.steps)
+
+    first = next(batches())
+    example = {k: jnp.asarray(v[:1]) for k, v in first.items()}
+    params = jax.jit(model.init)(jax.random.key(args.seed), example["raw"],
+                                 example["cond"], example["coord"])
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"[train] {args.model} ({kind}): {n_params/1e6:.2f}M params")
+
+    sched = make_schedule(args.lr_policy, args.lr, niter=args.steps,
+                          niter_decay=args.steps // 2,
+                          lr_decay_iters=max(args.steps // 4, 1))
+    if kind == "raw2bit":
+        tx = make_rd_optimizer(args.lr, schedule=sched)
+        step_fn = make_rd_train_step(model, args.lmbda)
+    else:
+        import optax
+
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+        step_fn = make_isp_train_step(model)
+    state = TrainState.create(params, tx)
+
+    if args.ckpt_dir:
+        latest = latest_checkpoint(args.ckpt_dir)
+        if latest and args.resume:
+            state = restore_checkpoint(latest, state)
+            print(f"[train] resumed from {latest} @ step {int(state.step)}")
+
+    rng = jax.random.key(args.seed + 1)
+    t0 = time.time()
+    for i, batch in enumerate(batches()):
+        rng, sub = jax.random.split(rng)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch, sub)
+        if (i + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            rate = (i + 1) * args.batch_size / (time.time() - t0)
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+            print(f"[train] step {int(state.step)} {msg} ({rate:.2f} img/s)")
+        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+            path = save_checkpoint(args.ckpt_dir, state)
+            print(f"[train] saved {path}")
+    if args.ckpt_dir:
+        path = save_checkpoint(args.ckpt_dir, state)
+        print(f"[train] saved {path}")
+
+
+def cmd_eval_rd(args):
+    import jax
+    import jax.numpy as jnp
+
+    from realcamnet_tpu.data.dataset import PairedRawDataset, synthetic_batch
+    from realcamnet_tpu.evaluation.rd import (
+        eval_dataset,
+        eval_real_bitstream,
+    )
+    from realcamnet_tpu.train.checkpoint import restore_params
+
+    model, kind = _build_model(args.model)
+    if kind != "raw2bit":
+        raise SystemExit("eval-rd needs a raw2bit model")
+
+    def batches():
+        if args.data == "synthetic":
+            for i in range(args.num_images):
+                yield {k: jnp.asarray(v) for k, v in
+                       synthetic_batch(1000 + i, 1, args.patch).items()}
+        else:
+            ds = PairedRawDataset(args.data, patch=args.patch, train=False)
+            for i in range(min(args.num_images, len(ds))):
+                s = ds.sample(i)
+                yield {k: jnp.asarray(v[None]) for k, v in s.items()}
+
+    example = next(batches())
+    params = jax.jit(model.init)(jax.random.key(0), example["raw"],
+                                 example["cond"], example["coord"])
+    if args.ckpt:
+        params = restore_params(args.ckpt, params)
+
+    result = eval_dataset(model, params, batches())
+    if args.real_bitstream:
+        result.update(eval_real_bitstream(model, params, example))
+    print(json.dumps({"model": args.model, "ckpt": args.ckpt, **result}))
+
+
+MAGIC = b"RCN1"
+
+
+def cmd_compress(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realcamnet_tpu.data.dataset import coord_map, pack_bayer_np
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+    from realcamnet_tpu.train.checkpoint import restore_params
+
+    model, _ = _build_model(args.model)
+    raw = np.load(args.input)
+    if raw.ndim == 2 or raw.shape[-1] == 1:
+        packed = pack_bayer_np(raw)
+    else:
+        packed = raw
+    packed = packed[None].astype(np.float32)
+    coord = coord_map(packed.shape[1], packed.shape[2])[None]
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(packed),
+                                 jnp.asarray(packed), jnp.asarray(coord))
+    if args.ckpt:
+        params = restore_params(args.ckpt, params)
+    codec = ChARMCodec(model, params)
+    codec.update()
+    out = codec.compress(jnp.asarray(packed), jnp.asarray(packed),
+                         jnp.asarray(coord))
+    y_str, z_str = out["strings"][0][0], out["strings"][1][0]
+    with open(args.output, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<HHII", out["shape"][0], out["shape"][1],
+                            len(y_str), len(z_str)))
+        f.write(y_str)
+        f.write(z_str)
+    npx = packed.shape[1] * packed.shape[2] * 4
+    print(json.dumps({"bytes": len(y_str) + len(z_str) + 16,
+                      "bpp": (len(y_str) + len(z_str)) * 8 / npx}))
+
+
+def cmd_decompress(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+    from realcamnet_tpu.train.checkpoint import restore_params
+
+    model, _ = _build_model(args.model)
+    with open(args.input, "rb") as f:
+        assert f.read(4) == MAGIC, "bad bitstream magic"
+        hz, wz, ny, nz = struct.unpack("<HHII", f.read(12))
+        y_str = f.read(ny)
+        z_str = f.read(nz)
+    # Params must match the encoder's checkpoint.
+    hy, wy = hz * 4, wz * 4
+    dummy = jnp.zeros((1, hy * 8, wy * 8, 4))
+    coord = jnp.zeros((1, hy * 8, wy * 8, 2))
+    params = jax.jit(model.init)(jax.random.key(0), dummy, dummy, coord)
+    if args.ckpt:
+        params = restore_params(args.ckpt, params)
+    codec = ChARMCodec(model, params)
+    codec.update()
+    dec = codec.decompress([[y_str], [z_str]], (hz, wz))
+    x = np.asarray(jax.device_get(dec["x_hat"][0]))
+    np.save(args.output, x)
+    print(json.dumps({"shape": list(x.shape), "output": args.output}))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rcn", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("models").set_defaults(fn=cmd_models)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", default="raw_compression_tcm_final")
+    t.add_argument("--data", default="synthetic")
+    t.add_argument("--steps", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=4)
+    t.add_argument("--patch", type=int, default=128)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--lr-policy", default="constant")
+    t.add_argument("--lmbda", type=float, default=0.01)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=10)
+    t.add_argument("--ckpt-dir", default="")
+    t.add_argument("--ckpt-every", type=int, default=1000)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval-rd")
+    e.add_argument("--model", default="raw_compression_tcm_final")
+    e.add_argument("--data", default="synthetic")
+    e.add_argument("--ckpt", default="")
+    e.add_argument("--patch", type=int, default=128)
+    e.add_argument("--num-images", type=int, default=4)
+    e.add_argument("--real-bitstream", action="store_true")
+    e.set_defaults(fn=cmd_eval_rd)
+
+    c = sub.add_parser("compress")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--model", default="raw_compression_tcm_final")
+    c.add_argument("--ckpt", default="")
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--model", default="raw_compression_tcm_final")
+    d.add_argument("--ckpt", default="")
+    d.set_defaults(fn=cmd_decompress)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

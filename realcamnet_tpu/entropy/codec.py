@@ -144,34 +144,50 @@ class ChARMCodec:
 
     # ---- joint ChARM coding (y given z) ----
 
+    def _compress_device(self, params, y, latent_means, latent_scales):
+        """Whole encode-side ChARM pass as ONE device program: unlike decode,
+        nothing here needs a host round trip, so the 5-slice loop compiles
+        once instead of 10 separate graphs."""
+        latent_means = latent_means[:, : y.shape[1], : y.shape[2], :]
+        latent_scales = latent_scales[:, : y.shape[1], : y.shape[2], :]
+        slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices: List[jnp.ndarray] = []
+        syms, scales = [], []
+        for i, y_slice in enumerate(slices):
+            mu, scale, mean_support = self.model.apply(
+                params, latent_means, latent_scales, y_hat_slices, i,
+                method="slice_params")
+            sym = jnp.round(y_slice.astype(jnp.float32) - mu.astype(jnp.float32))
+            y_hat_slice = sym + mu
+            lrp = self.model.apply(params, mean_support, y_hat_slice, i,
+                                   method="slice_lrp")
+            y_hat_slices.append(y_hat_slice + lrp)
+            syms.append(sym.astype(jnp.int32))
+            scales.append(scale)
+        return jnp.stack(syms), jnp.stack(scales)
+
     def compress_y(self, y, latent_means, latent_scales) -> bytes:
         """y: (1, Hy, Wy, M) device array. Buffers all slices, single flush
         (`tcm.py:536-567`)."""
-        y = jnp.asarray(y)
-        slices = jnp.split(y, self.num_slices, axis=-1)
-        y_hat_slices: List[jnp.ndarray] = []
-        symbols_list, indexes_list = [], []
-        for i, y_slice in enumerate(slices):
-            mu, scale, mean_support = self._slice_params(
-                self.params, latent_means, latent_scales, y_hat_slices, i=i)
-            scale_np = np.asarray(jax.device_get(scale), np.float32)
-            idx = build_indexes_np(scale_np, self.scale_table)
-            sym = np.round(np.asarray(jax.device_get(y_slice - mu), np.float64)).astype(np.int32)
-            symbols_list.append(sym.reshape(-1))
-            indexes_list.append(idx.reshape(-1))
-            y_hat_slice = jnp.asarray(sym, jnp.float32) + mu
-            lrp = self._slice_lrp(self.params, mean_support, y_hat_slice, i=i)
-            y_hat_slices.append(y_hat_slice + lrp)
-        symbols = np.concatenate(symbols_list)
-        indexes = np.concatenate(indexes_list)
-        return rans.encode_with_indexes(symbols, indexes, self.gauss.cdfs,
-                                        self.gauss.cdf_lengths, self.gauss.offsets)
+        if not hasattr(self, "_compress_device_jit"):
+            self._compress_device_jit = jax.jit(self._compress_device)
+        syms, scales = self._compress_device_jit(
+            self.params, jnp.asarray(y), latent_means, latent_scales)
+        syms = np.asarray(jax.device_get(syms))
+        scales = np.asarray(jax.device_get(scales), np.float32)
+        indexes = build_indexes_np(scales, self.scale_table)
+        return rans.encode_with_indexes(syms.reshape(-1), indexes.reshape(-1),
+                                        self.gauss.cdfs,
+                                        self.gauss.cdf_lengths,
+                                        self.gauss.offsets)
 
     def decompress_y(self, data: bytes, latent_means, latent_scales,
                      y_shape: Tuple[int, int]):
         """Streaming decode: num_slices device<->host round trips."""
         dec = rans.RansDecoder()
         dec.set_stream(data)
+        latent_means = latent_means[:, : y_shape[0], : y_shape[1], :]
+        latent_scales = latent_scales[:, : y_shape[0], : y_shape[1], :]
         y_hat_slices: List[jnp.ndarray] = []
         for i in range(self.num_slices):
             mu, scale, mean_support = self._slice_params(

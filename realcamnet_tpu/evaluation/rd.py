@@ -1,0 +1,82 @@
+"""RD evaluation: per-image metrics, dataset sweeps over lambda points, and
+real-bitstream verification (SURVEY.md §7.1 step 6).
+
+Two rate measurements:
+- 'estimated': bpp from likelihoods in the eval forward (standard proxy).
+- 'real': actual rANS byte counts via ChARMCodec (requires update()).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realcamnet_tpu.evaluation.metrics import (
+    bpp_from_likelihoods,
+    delta_e_ciede2000,
+    ms_ssim_db,
+    psnr,
+)
+
+
+def _make_eval_fn(model):
+    @jax.jit
+    def run(p, raw, cond, coord, target):
+        out = model.apply(p, raw, cond, coord)
+        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
+        num_px = target.shape[0] * target.shape[1] * target.shape[2]
+        return {
+            "psnr": psnr(x_hat, target),
+            "ms_ssim_db": ms_ssim_db(x_hat, target),
+            "delta_e": delta_e_ciede2000(x_hat, target),
+            "bpp": bpp_from_likelihoods(out["likelihoods"], num_px),
+        }
+
+    return run
+
+
+def eval_forward_metrics(model, params, batch: Dict, _fn=None) -> Dict[str, float]:
+    """Eval-mode forward metrics for one batch (jitted)."""
+    run = _fn if _fn is not None else _make_eval_fn(model)
+    m = run(params, batch["raw"], batch["cond"], batch["coord"], batch["target"])
+    return {k: float(v) for k, v in jax.device_get(m).items()}
+
+
+def eval_dataset(model, params, batches: Iterable[Dict]) -> Dict[str, float]:
+    """Mean metrics over an iterable of batches."""
+    run = _make_eval_fn(model)  # one jit shared by every batch
+    acc: Dict[str, float] = {}
+    n = 0
+    for batch in batches:
+        m = eval_forward_metrics(model, params, batch, _fn=run)
+        for k, v in m.items():
+            acc[k] = acc.get(k, 0.0) + v
+        n += 1
+    return {k: v / max(n, 1) for k, v in acc.items()}
+
+
+def eval_real_bitstream(model, params, batch: Dict) -> Dict[str, float]:
+    """Compress+decompress through the actual rANS coder; returns real bpp
+    and reconstruction metrics."""
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+
+    codec = ChARMCodec(model, params)
+    codec.update()
+    raw, cond, coord, target = (batch[k] for k in ("raw", "cond", "coord", "target"))
+    assert raw.shape[0] == 1, "real-bitstream eval is per-image"
+    out = codec.compress(jnp.asarray(raw), jnp.asarray(cond), jnp.asarray(coord))
+    nbytes = sum(len(s[0]) for s in out["strings"])
+    dec = codec.decompress(out["strings"], out["shape"])
+    x_hat = jnp.clip(dec["x_hat"], 0.0, 1.0)
+    target = jnp.asarray(target)
+    num_px = target.shape[1] * target.shape[2]
+    return {
+        "bpp_real": nbytes * 8.0 / num_px,
+        "psnr": float(psnr(x_hat, target)),
+        "ms_ssim_db": float(ms_ssim_db(x_hat, target)),
+        "delta_e": float(delta_e_ciede2000(x_hat, target)),
+        "bytes": float(nbytes),
+    }

@@ -171,6 +171,12 @@ class CharmEntropyModel(nn.Module):
     def __call__(self, y, latent_means, latent_scales, train: bool = False):
         """Full training-path ChARM pass. Returns (y_hat, y_likelihoods,
         means, scales)."""
+        # Hyper-synthesis upsamples 4x from z, which can overshoot y's size
+        # for inputs not divisible by 64; the reference crops mu/scale per
+        # slice (`tcm.py:466,471`) — cropping the latents up front is
+        # equivalent and keeps the support concats consistent.
+        latent_means = latent_means[:, : y.shape[1], : y.shape[2], :]
+        latent_scales = latent_scales[:, : y.shape[1], : y.shape[2], :]
         slices = jnp.split(y, self.num_slices, axis=-1)
         y_hat_slices: List[jnp.ndarray] = []
         liks, mus, scales_l = [], [], []

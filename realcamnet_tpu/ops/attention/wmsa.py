@@ -67,6 +67,7 @@ class WMSA(nn.Module):
     window_size: int
     shifted: bool = False
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -99,9 +100,6 @@ class WMSA(nn.Module):
         v = v.transpose(0, 1, 3, 2, 4)
 
         scale = self.head_dim ** -0.5
-        sim = jnp.einsum("bwhpc,bwhqc->bwhpq", q, k,
-                         preferred_element_type=jnp.float32) * scale
-
         table = self.param(
             "rel_pos_bias",
             nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
@@ -109,15 +107,36 @@ class WMSA(nn.Module):
         )
         idx = _relative_index(p)
         bias = table[idx[..., 0], idx[..., 1]]  # (p^2, p^2, heads)
-        sim = sim + bias.transpose(2, 0, 1)[None, None].astype(sim.dtype)
+        bias_hpq = bias.transpose(2, 0, 1)
 
-        if shift:
-            mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
-            sim = sim + mask[None, :, None, :, :]
+        if self.use_pallas:
+            from realcamnet_tpu.ops.attention.pallas_wmsa import window_attention
 
-        probs = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bwhpq,bwhqc->bwhpc", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+            nw = hw * ww
+            if shift:
+                mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
+                mask = jnp.nan_to_num(mask, neginf=-1e9)
+            else:
+                mask = jnp.zeros((nw, p * p, p * p), jnp.float32)
+            mask = jnp.tile(mask, (b, 1, 1))
+            out = window_attention(
+                q.reshape(b * nw, n_heads, p * p, self.head_dim),
+                k.reshape(b * nw, n_heads, p * p, self.head_dim),
+                v.reshape(b * nw, n_heads, p * p, self.head_dim),
+                bias_hpq.astype(jnp.float32), mask, scale, 8,
+                jax.default_backend() == "cpu",
+            )
+            out = out.reshape(b, nw, n_heads, p * p, self.head_dim)
+        else:
+            sim = jnp.einsum("bwhpc,bwhqc->bwhpq", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            sim = sim + bias_hpq[None, None].astype(sim.dtype)
+            if shift:
+                mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
+                sim = sim + mask[None, :, None, :, :]
+            probs = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bwhpq,bwhqc->bwhpc", probs, v,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, hw * ww, p * p, self.dim)
         out = nn.Dense(self.dim, param_dtype=self.param_dtype, dtype=x.dtype,
                        name="proj")(out)

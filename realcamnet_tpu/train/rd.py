@@ -1,0 +1,99 @@
+"""Rate-distortion training for the joint compression models.
+
+Loss convention (CompressAI, SURVEY.md §3.2): R = sum(-log2 p) / num_pixels,
+D = MSE(x_hat, sRGB gt), L = R + lambda * 255^2 * D, plus the
+entropy-bottleneck aux quantile loss optimized by a separate optimizer over
+only the `quantiles` parameters (CompressAI's net/aux optimizer split).
+
+The train step is one pjit program: batch sharded over the mesh 'data' axis,
+params replicated, gradient psum inserted by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from realcamnet_tpu.train.isp import TrainState
+
+
+def rd_metrics(out: Dict, target, lmbda: float) -> Dict[str, jnp.ndarray]:
+    x_hat = out["x_hat"].astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    num_px = target.shape[0] * target.shape[1] * target.shape[2]
+    bpp_y = -jnp.sum(jnp.log2(out["likelihoods"]["y"])) / num_px
+    bpp_z = -jnp.sum(jnp.log2(out["likelihoods"]["z"])) / num_px
+    mse = jnp.mean((x_hat - target) ** 2)
+    psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+    loss = bpp_y + bpp_z + lmbda * (255.0 ** 2) * mse
+    return {"loss": loss, "bpp": bpp_y + bpp_z, "bpp_y": bpp_y, "bpp_z": bpp_z,
+            "mse": mse, "psnr": psnr}
+
+
+def _is_quantile(path) -> bool:
+    return any("quantiles" in str(p) for p in path)
+
+
+def make_rd_optimizer(lr: float = 1e-4, aux_lr: float = 1e-3,
+                      clip_norm: Optional[float] = 1.0,
+                      schedule=None) -> optax.GradientTransformation:
+    """Main Adam on everything except quantiles; aux Adam on quantiles.
+
+    Mirrors CompressAI's configure_optimizers net/aux split.
+    """
+    main = optax.chain(
+        optax.clip_by_global_norm(clip_norm) if clip_norm else optax.identity(),
+        optax.adam(schedule if schedule is not None else lr),
+    )
+    aux = optax.adam(aux_lr)
+
+    def label_fn(params):
+        flat = traverse_util.flatten_dict(params)
+        labels = {k: ("aux" if _is_quantile(k) else "main") for k in flat}
+        return traverse_util.unflatten_dict(labels)
+
+    return optax.multi_transform({"main": main, "aux": aux}, label_fn)
+
+
+def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
+                       inputs=("raw", "cond", "coord")) -> Callable:
+    """jitted train_step(state, batch, rng) -> (state, metrics).
+
+    batch keys: `inputs`... + 'target'. The aux quantile loss is added to the
+    total so the 'aux'-labeled optimizer sees its gradient; main params get
+    only the RD gradient (quantile loss depends only on quantiles; RD loss
+    treats medians as stop-gradient, matching CompressAI).
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        noise_rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            out = model.apply(params, *[batch[k] for k in inputs], train=True,
+                              rngs={"noise": noise_rng, "dropout": drop_rng})
+            m = rd_metrics(out, batch["target"], lmbda)
+            aux = model.apply(params, method="aux_loss")
+            total = m["loss"] + aux
+            m = dict(m, aux_loss=aux)
+            return total, m
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    keys = tuple(inputs) + ("target",)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, {k: data for k in keys}, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

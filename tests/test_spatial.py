@@ -1,0 +1,51 @@
+"""Spatial-parallel tiled inference tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realcamnet_tpu.models.liteisp import LiteISPNet
+from realcamnet_tpu.parallel.mesh import create_mesh
+from realcamnet_tpu.parallel.spatial import make_tiled_isp_forward
+
+
+def small_isp():
+    # Narrow LiteISP so the CPU-mesh test stays cheap; same topology/RF
+    # structure as the flagship.
+    return LiteISPNet(ch_1=8, ch_2=16, ch_3=16, n_blocks=1, cond_c=8,
+                      use_gfm=True, use_lsc=True)
+
+
+def test_tiled_matches_unsharded_interior():
+    mesh = create_mesh(data=2, spatial=4)
+    model = small_isp()
+    k = jax.random.key(0)
+    h, w = 4 * 32, 48  # 4 spatial shards of 32 rows
+    raw = jax.random.uniform(k, (1, h, w, 4))
+    cond = jax.random.uniform(jax.random.key(1), (1, 64, 64, 4))
+    coord = jax.random.uniform(jax.random.key(2), (1, h, w, 2))
+    params = model.init(jax.random.key(3), raw, cond, coord)
+
+    full = model.apply(params, raw, cond, coord)
+    tiled_fn = make_tiled_isp_forward(model, params, mesh, halo=32)
+    tiled = tiled_fn(raw, cond, coord)
+
+    assert tiled.shape == full.shape == (1, 2 * h, 2 * w, 3)
+    a = np.asarray(full)
+    b = np.asarray(jax.device_get(tiled))
+    # Shard-center rows are beyond the halo's receptive-field error.
+    for s in range(4):
+        center = slice(2 * (32 * s + 12), 2 * (32 * s + 20))
+        np.testing.assert_allclose(a[:, center], b[:, center], atol=2e-2)
+    # Whole-frame agreement within a loose seam tolerance.
+    assert np.mean(np.abs(a - b)) < 2e-2
+
+
+def test_tiled_shape_validation():
+    mesh = create_mesh(data=2, spatial=4)
+    model = small_isp()
+    fn = make_tiled_isp_forward(model, {}, mesh, halo=16)
+    with pytest.raises(AssertionError):
+        fn(jnp.zeros((1, 100, 48, 4)), jnp.zeros((1, 64, 64, 4)),
+           jnp.zeros((1, 100, 48, 2)))
