@@ -226,6 +226,37 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_sweep(args):
+    """Train + eval one model per lambda point — the full RD-curve recipe
+    (reference operating points, BASELINE.md)."""
+    import copy
+
+    from realcamnet_tpu.core.config import ExperimentConfig
+
+    cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
+    results = []
+    for lmbda in cfg.lambdas:
+        ckpt_dir = os.path.join(cfg.train.ckpt_dir, f"lmbda_{lmbda:g}")
+        train_args = [
+            "train", "--model", cfg.model.name, "--data", cfg.data.source,
+            "--steps", str(cfg.train.steps), "--batch-size",
+            str(cfg.train.batch_size), "--patch", str(cfg.train.patch),
+            "--lr", str(cfg.train.lr), "--lr-policy", cfg.train.lr_policy,
+            "--lmbda", str(lmbda), "--ckpt-dir", ckpt_dir,
+            "--ckpt-every", str(cfg.train.ckpt_every),
+            "--log-every", str(cfg.train.log_every),
+        ]
+        main(train_args)
+        from realcamnet_tpu.train.checkpoint import latest_checkpoint
+
+        ckpt = latest_checkpoint(ckpt_dir) or ""
+        main(["eval-rd", "--model", cfg.model.name, "--data", cfg.data.source,
+              "--ckpt", ckpt, "--patch", str(cfg.train.patch),
+              "--num-images", str(cfg.data.num_eval_images)])
+        results.append({"lmbda": lmbda, "ckpt": ckpt})
+    print(json.dumps({"sweep": results}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rcn", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -157,6 +157,7 @@ class RawCompression(nn.Module):
     hyper_a_block: str = "swin"   # 'swin' | 'conv'
     hyper_s_block: str = "swin"   # 'swin' | 'conv' | 'rcag'
     stem: str = "conv_first"      # 'conv_first' | 'stride2'
+    entropy_atten: str = "swin"   # 'swin' | 'gma' (reference `GMAAtten`)
     param_dtype: Dtype = jnp.float32
 
     @property
@@ -272,7 +273,7 @@ class RawCompression(nn.Module):
 
         self.charm = CharmEntropyModel(self.m, self.num_slices,
                                        self.max_support_slices, 16, 8, pd,
-                                       name="charm")
+                                       self.entropy_atten, name="charm")
         self.entropy_bottleneck = EntropyBottleneck(192, name="entropy_bottleneck")
 
     # ---- transforms ----
@@ -462,7 +463,14 @@ def raw_compression_tcm_final_xiaorong3_(**kw) -> RawCompression:
                           encoder_block="conv", decoder_block="conv", **kw)
 
 
+def raw_compression_tcm_final_gma(**kw) -> RawCompression:
+    """Flagship with GMA entropy attention instead of Swin (component
+    variant from `raw2bit.py:169-234`)."""
+    return RawCompression(entropy_atten="gma", **kw)
+
+
 RAW2BIT_MODELS = {
+    "raw_compression_tcm_final_gma": raw_compression_tcm_final_gma,
     "raw_compression_tcm": raw_compression_tcm,
     "raw_compression_tcm_xiaorong1": raw_compression_tcm_xiaorong1,
     "raw_compression_tcm_xiaorong2": raw_compression_tcm_xiaorong2,

@@ -95,20 +95,60 @@ class SWAtten(nn.Module):
         return Conv2d(self.output_dim, 1, 1, 0, param_dtype=pd, name="out_conv")(out)
 
 
+class GMAAtten(nn.Module):
+    """GMA-flavored entropy attention gate (reference `GMAAtten`,
+    `raw2bit.py:212-234`): AttentionBlock with the non-local branch replaced
+    by two GMA blocks over the full map as tokens.
+
+    The reference instantiates this with inter_dim=192, which its own
+    5-segment GroupMix aggregator cannot split (dead code, SURVEY.md §0.1);
+    here inter_dim defaults to 120 (divisible by 5 segments and 8 heads)."""
+
+    output_dim: int
+    head_dim: int = 16
+    inter_dim: int = 120
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from realcamnet_tpu.ops.attention.gma import GMABlock
+
+        pd = self.param_dtype
+        n = self.inter_dim
+        x = Conv2d(n, 1, 1, 0, param_dtype=pd, name="in_conv")(x)
+        identity = x
+        z = GMABlock(n, 8, param_dtype=pd, name="gma0")(x, train=train)
+        z = GMABlock(n, 8, param_dtype=pd, name="gma1")(z, train=train)
+        a = x
+        for i in range(3):
+            a = ResidualUnit(n, pd, name=f"a{i}")(a)
+        b = z
+        for i in range(3):
+            b = ResidualUnit(n, pd, name=f"b{i}")(b)
+        b = Conv2d(n, 1, 1, 0, param_dtype=pd, name="b3")(b)
+        out = a * jax.nn.sigmoid(b) + identity
+        return Conv2d(self.output_dim, 1, 1, 0, param_dtype=pd, name="out_conv")(out)
+
+
 class ChARMHead(nn.Module):
-    """One ChARM slice's parameter head: SWAtten + 3-layer conv stack
-    (`tcm.py:388-415`)."""
+    """One ChARM slice's parameter head: SWAtten (or GMAAtten) + 3-layer conv
+    stack (`tcm.py:388-415`; GMA variant `raw2bit.py:212-234`)."""
 
     out_c: int
     head_dim: int = 16
     window_size: int = 8
     param_dtype: Dtype = jnp.float32
+    atten_kind: str = "swin"  # 'swin' | 'gma'
 
     @nn.compact
     def __call__(self, support, train: bool = False):
         pd = self.param_dtype
-        h = SWAtten(support.shape[-1], self.head_dim, self.window_size, 0.0,
-                    128, pd, name="atten")(support, train=train)
+        if self.atten_kind == "gma":
+            h = GMAAtten(support.shape[-1], self.head_dim, 120, pd,
+                         name="atten")(support, train=train)
+        else:
+            h = SWAtten(support.shape[-1], self.head_dim, self.window_size, 0.0,
+                        128, pd, name="atten")(support, train=train)
         h = Conv2d(224, 3, 1, 1, param_dtype=pd, name="c0")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = Conv2d(128, 3, 1, 1, param_dtype=pd, name="c1")(h)
@@ -144,15 +184,18 @@ class CharmEntropyModel(nn.Module):
     head_dim: int = 16
     window_size: int = 8
     param_dtype: Dtype = jnp.float32
+    atten_kind: str = "swin"  # 'swin' | 'gma'
 
     def setup(self):
         n = self.num_slices
         sc = self.m // n
         self.atten_mean = [ChARMHead(sc, self.head_dim, self.window_size,
-                                     self.param_dtype, name=f"mean{i}")
+                                     self.param_dtype, self.atten_kind,
+                                     name=f"mean{i}")
                            for i in range(n)]
         self.atten_scale = [ChARMHead(sc, self.head_dim, self.window_size,
-                                      self.param_dtype, name=f"scale{i}")
+                                      self.param_dtype, self.atten_kind,
+                                      name=f"scale{i}")
                             for i in range(n)]
         self.lrp = [LRPHead(sc, self.param_dtype, name=f"lrp{i}") for i in range(n)]
         self.gaussian = GaussianConditional(name="gaussian")
