@@ -56,6 +56,85 @@ def _dense(sd, key):
     return {"dense": dense_params(sd, key)}
 
 
+def layernorm_params(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def batchnorm_params(sd: Mapping[str, Any], key: str):
+    """torch BatchNorm/SyncBatchNorm -> (flax params, flax batch_stats)."""
+    params = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    stats = {"mean": _np(sd[f"{key}.running_mean"]),
+             "var": _np(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+def _separable(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `SeparableConv2d` (groupmix.py:240-249) -> our SeparableConv."""
+    return {"dw": _conv(sd, f"{key}.conv1"),
+            "pw": _conv(sd, f"{key}.pointwise_conv")}
+
+
+def _wmsa(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference Swin `WMSA` (tcm.py:139-212) -> our WMSA: qkv/proj linears +
+    relative-position bias table ((heads, 2w-1, 2w-1) -> (2w-1, 2w-1, heads))."""
+    return {
+        "qkv": dense_params(sd, f"{key}.embedding_layer"),
+        "proj": dense_params(sd, f"{key}.linear"),
+        "rel_pos_bias": _np(sd[f"{key}.relative_position_params"]).transpose(1, 2, 0),
+    }
+
+
+def _swin_block(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `Block` (tcm.py:214-236) -> our SwinTransformerBlock."""
+    return {
+        "ln1": layernorm_params(sd, f"{key}.ln1"),
+        "msa": _wmsa(sd, f"{key}.msa"),
+        "ln2": layernorm_params(sd, f"{key}.ln2"),
+        "mlp0": dense_params(sd, f"{key}.mlp.0"),
+        "mlp1": dense_params(sd, f"{key}.mlp.2"),
+    }
+
+
+def _efficient_att(sd: Mapping[str, Any], key: str):
+    """Reference GMA `EfficientAtt` (groupmix.py:159-200) -> our EfficientAtt.
+    Returns (params, batch_stats) — the aggregator uses (Sync)BatchNorm."""
+    agg: Dict[str, Any] = {
+        "agg0_conv": _separable(sd, f"{key}.aggregator.agg0.conv"),
+        "agg0_norm": layernorm_params(sd, f"{key}.aggregator.agg0.norm"),
+    }
+    stats: Dict[str, Any] = {"aggregator": {}}
+    for i in range(4):
+        p, s = batchnorm_params(sd, f"{key}.aggregator.norm{i}")
+        agg[f"norm{i}"] = {"bn": p}
+        stats["aggregator"][f"norm{i}"] = {"bn": s}
+        if i > 0:
+            agg[f"agg{i}"] = _separable(sd, f"{key}.aggregator.agg{i}")
+    crpe = {f"conv{win}": _conv(sd, f"{key}.crpe.conv_list.{i}")
+            for i, win in enumerate((3, 5, 7))}
+    params = {
+        "qkv": dense_params(sd, f"{key}.qkv"),
+        "proj": dense_params(sd, f"{key}.proj"),
+        "aggregator": agg,
+        "crpe": crpe,
+    }
+    return params, stats
+
+
+def _gma_block(sd: Mapping[str, Any], key: str):
+    """Reference `GMA_Block` (groupmix.py:274-299) -> our GMABlock.
+    Returns (params, batch_stats)."""
+    att, att_stats = _efficient_att(sd, f"{key}.att")
+    params = {
+        "cpe": {"proj": _conv(sd, f"{key}.cpe.proj")},
+        "norm1": layernorm_params(sd, f"{key}.norm1"),
+        "att": att,
+        "norm2": layernorm_params(sd, f"{key}.norm2"),
+        "mlp0": dense_params(sd, f"{key}.mlp.fc1"),
+        "mlp1": dense_params(sd, f"{key}.mlp.fc2"),
+    }
+    return params, {"att": att_stats}
+
+
 def _rcagroup(sd: Mapping[str, Any], key: str, nb: int) -> Dict[str, Any]:
     """Reference `N.RCAGroup` (networks.py:317-335): rg.{i} = RCABlock
     {res.0, res.2 convs ('CRC'), ca.conv_du.{0,2}}, rg.{nb} trailing conv."""

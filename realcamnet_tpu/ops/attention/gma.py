@@ -116,7 +116,7 @@ class Aggregator(nn.Module):
         # Joint QKV segment: concat the three stacks channel-wise.
         x_local = parts[4].transpose(1, 2, 3, 0, 4).reshape(b, h, w, 3 * seg_dim)
         x_local = SeparableConv(seg_dim, 3, 1, 1, pd, name="agg0_conv")(x_local)
-        x_local = nn.LayerNorm(param_dtype=pd, dtype=x_local.dtype,
+        x_local = nn.LayerNorm(epsilon=1e-5, param_dtype=pd, dtype=x_local.dtype,
                                name="agg0_norm")(x_local)
         x_local = jax.nn.hard_swish(x_local)
 
@@ -214,11 +214,11 @@ class GMABlock(nn.Module):
             return y
 
         x = ConvPosEnc(3, pd, name="cpe")(x)
-        cur = nn.LayerNorm(param_dtype=pd, dtype=x.dtype, name="norm1")(x)
+        cur = nn.LayerNorm(epsilon=1e-5, param_dtype=pd, dtype=x.dtype, name="norm1")(x)
         cur = EfficientAtt(self.dim, self.num_heads, param_dtype=pd,
                            name="att")(cur, train=train)
         x = x + dp(cur)
-        cur = nn.LayerNorm(param_dtype=pd, dtype=x.dtype, name="norm2")(x)
+        cur = nn.LayerNorm(epsilon=1e-5, param_dtype=pd, dtype=x.dtype, name="norm2")(x)
         cur = nn.Dense(int(self.dim * self.mlp_ratio), param_dtype=pd,
                        dtype=x.dtype, name="mlp0")(cur)
         cur = jax.nn.gelu(cur, approximate=False)

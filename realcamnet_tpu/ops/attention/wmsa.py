@@ -181,10 +181,10 @@ class SwinTransformerBlock(nn.Module):
                                  self.make_rng("dropout"))
             return y
 
-        h = nn.LayerNorm(param_dtype=self.param_dtype, dtype=x.dtype, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, dtype=x.dtype, name="ln1")(x)
         x = x + dp(WMSA(self.dim, self.head_dim, self.window_size,
                         self.shifted, self.param_dtype, name="msa")(h))
-        h = nn.LayerNorm(param_dtype=self.param_dtype, dtype=x.dtype, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, dtype=x.dtype, name="ln2")(x)
         h = nn.Dense(4 * self.dim, param_dtype=self.param_dtype, dtype=x.dtype,
                      name="mlp0")(h)
         h = jax.nn.gelu(h, approximate=False)

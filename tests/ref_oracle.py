@@ -29,9 +29,67 @@ _STUBS = {
     "ipdb": ["set_trace"],
     "fvcore": [],
     "fvcore.nn": ["FlopCountAnalysis", "flop_count_table"],
+    # compressai: import-time names for models/tcm.py and models/raw2bit.py.
+    # Class stubs are inert `object`s — parity tests only instantiate the
+    # reference classes that don't touch them (WMSA, Block, SwinBlock...).
+    "compressai": [],
+    "compressai.entropy_models": ["EntropyBottleneck", "GaussianConditional"],
+    "compressai.ans": ["BufferedRansEncoder", "RansDecoder"],
+    "compressai.models": ["CompressionModel"],
+    "compressai.models.google": ["JointAutoregressiveHierarchicalPriors"],
+    "compressai.models.utils": ["conv", "deconv", "update_registered_buffers"],
+    "compressai.layers": [
+        "AttentionBlock", "ResidualBlock", "ResidualBlockUpsample",
+        "ResidualBlockWithStride", "conv3x3", "subpel_conv3x3", "GDN",
+        "MaskedConv2d",
+    ],
+    "compressai.datasets": ["ImageFolder", "Vimeo90kDataset"],
+    "compressai.zoo": ["load_state_dict", "models"],
 }
 
 _loaded: dict = {}
+
+
+def _timm_stubs():
+    """Functional timm pieces (DropPath/trunc_normal_/to_2tuple) so the
+    reference groupmix.py runs as an eval-mode oracle."""
+    import collections.abc
+    import itertools
+
+    import torch
+    from torch import nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            mask = x.new_empty((x.shape[0],) + (1,) * (x.ndim - 1)).bernoulli_(keep)
+            return x * mask / keep
+
+    def to_2tuple(v):
+        if isinstance(v, collections.abc.Iterable) and not isinstance(v, str):
+            return tuple(itertools.islice(itertools.chain(v, itertools.repeat(v)), 2))
+        return (v, v)
+
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm = types.ModuleType("timm")
+    models_mod = types.ModuleType("timm.models")
+    models_mod.layers = layers
+    timm.data = data
+    timm.models = models_mod
+    return {"timm": timm, "timm.data": data, "timm.models": models_mod,
+            "timm.models.layers": layers}
 
 
 def available() -> bool:
@@ -56,6 +114,11 @@ def _install_stubs():
         for a in attrs:
             setattr(m, a, object)
         sys.modules[name] = m
+    try:
+        import timm  # noqa: F401
+    except ImportError:
+        for name, mod in _timm_stubs().items():
+            sys.modules.setdefault(name, mod)
 
 
 def load(modname: str):
