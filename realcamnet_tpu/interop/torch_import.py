@@ -135,6 +135,45 @@ def _gma_block(sd: Mapping[str, Any], key: str):
     return params, {"att": att_stats}
 
 
+def convert_groupmixformer_state_dict(
+    sd: Mapping[str, Any],
+    serial_depths=(2, 4, 12, 4),
+    return_interm_layers: bool = False,
+):
+    """Reference `GroupMixFormer` (groupmix.py:330-436) torch state dict ->
+    (flax params, batch_stats) for our models.groupmix.GroupMixFormer."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem_p: Dict[str, Any] = {}
+    stem_s: Dict[str, Any] = {}
+    for i in (1, 2):
+        stem_p[f"proj{i}"] = _conv(sd, f"conv_stem.proj{i}")
+        bp, bs = batchnorm_params(sd, f"conv_stem.norm{i}")
+        stem_p[f"bn{i}"] = {"bn": bp}
+        stem_s[f"bn{i}"] = {"bn": bs}
+    params["conv_stem"] = stem_p
+    stats["conv_stem"] = stem_s
+
+    for s in range(len(serial_depths)):
+        pe_p: Dict[str, Any] = {"proj": _separable(sd, f"patch_embed_layers.{s}.proj")}
+        bp, bs = batchnorm_params(sd, f"patch_embed_layers.{s}.norm")
+        pe_p["bn"] = {"bn": bp}
+        params[f"patch_embed{s}"] = pe_p
+        stats[f"patch_embed{s}"] = {"bn": {"bn": bs}}
+        for d in range(serial_depths[s]):
+            bp2, bs2 = _gma_block(sd, f"groupmixformer_backbone.{s}.gma_stage.{d}")
+            params[f"stage{s}_block{d}"] = bp2
+            stats[f"stage{s}_block{d}"] = bs2
+
+    if not return_interm_layers:
+        bp, bs = batchnorm_params(sd, "norm4")
+        params["norm4"] = {"bn": bp}
+        stats["norm4"] = {"bn": bs}
+        params["head"] = dense_params(sd, "head")
+    return params, stats
+
+
 def _rcagroup(sd: Mapping[str, Any], key: str, nb: int) -> Dict[str, Any]:
     """Reference `N.RCAGroup` (networks.py:317-335): rg.{i} = RCABlock
     {res.0, res.2 convs ('CRC'), ca.conv_du.{0,2}}, rg.{nb} trailing conv."""

@@ -81,7 +81,8 @@ class GroupMixFormer(nn.Module):
                 param_dtype=pd, name=f"patch_embed{s}")(x, train=train)
             for d in range(self.serial_depths[s]):
                 x = GMABlock(self.embedding_dims[s], self.num_heads,
-                             float(self.mlp_ratios[s]), dpr[k], pd,
+                             float(self.mlp_ratios[s]), dpr[k], ln_eps=1e-6,
+                             param_dtype=pd,
                              name=f"stage{s}_block{d}")(x, train=train)
                 k += 1
             out.append(x)

@@ -199,6 +199,9 @@ class GMABlock(nn.Module):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    # torch nn.LayerNorm default; the GroupMixFormer backbone overrides with
+    # 1e-6 (`groupmix.py:345`, partial(nn.LayerNorm, eps=1e-6)).
+    ln_eps: float = 1e-5
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -214,11 +217,11 @@ class GMABlock(nn.Module):
             return y
 
         x = ConvPosEnc(3, pd, name="cpe")(x)
-        cur = nn.LayerNorm(epsilon=1e-5, param_dtype=pd, dtype=x.dtype, name="norm1")(x)
+        cur = nn.LayerNorm(epsilon=self.ln_eps, param_dtype=pd, dtype=x.dtype, name="norm1")(x)
         cur = EfficientAtt(self.dim, self.num_heads, param_dtype=pd,
                            name="att")(cur, train=train)
         x = x + dp(cur)
-        cur = nn.LayerNorm(epsilon=1e-5, param_dtype=pd, dtype=x.dtype, name="norm2")(x)
+        cur = nn.LayerNorm(epsilon=self.ln_eps, param_dtype=pd, dtype=x.dtype, name="norm2")(x)
         cur = nn.Dense(int(self.dim * self.mlp_ratio), param_dtype=pd,
                        dtype=x.dtype, name="mlp0")(cur)
         cur = jax.nn.gelu(cur, approximate=False)

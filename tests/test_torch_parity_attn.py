@@ -111,3 +111,29 @@ def test_gma_block_parity():
         jax.tree.map(jnp.asarray, {"params": params, "batch_stats": stats}),
         jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), ref_y, atol=1e-5)
+
+
+def test_groupmixformer_backbone_parity():
+    """Full GroupMixFormer (2 small stages) vs the reference backbone,
+    classifier head included."""
+    torch = _torch()
+    gm = ref_oracle.load("groupmix")
+    from realcamnet_tpu.interop.torch_import import convert_groupmixformer_state_dict
+    from realcamnet_tpu.models.groupmix import GroupMixFormer
+
+    depths = (1, 1)
+    ref = gm.GroupMixFormer(
+        num_stages=2, embedding_dims=[40, 40, 40, 40],  # ref indexes [3] for the head
+        serial_depths=list(depths),
+        num_heads=8, mlp_ratios=[2, 2], num_classes=10, drop_path_rate=0.0,
+    ).eval()
+    params, stats = convert_groupmixformer_state_dict(ref.state_dict(), depths)
+    x = rand(1, 32, 32, 3)
+    with torch.no_grad():
+        ref_y = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = GroupMixFormer(
+        embedding_dims=(40, 40), serial_depths=depths, num_heads=8,
+        mlp_ratios=(2, 2), num_classes=10, drop_path_rate=0.0,
+    ).apply(jax.tree.map(jnp.asarray, {"params": params, "batch_stats": stats}),
+            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref_y, atol=1e-4)
