@@ -17,7 +17,7 @@ a plain dict of numpy arrays works too).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -276,6 +276,233 @@ def convert_liteisp_state_dict(
 
     p["tail_conv0"] = _conv(sd, "tail.0")
     p["tail_conv1"] = _conv(sd, "tail.2")
+    return {"params": p}
+
+
+def _residual_block(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """CompressAI `ResidualBlock` -> ops.codec_layers.ResidualBlock."""
+    out = {"conv1": _conv(sd, f"{key}.conv1"), "conv2": _conv(sd, f"{key}.conv2")}
+    if f"{key}.skip.weight" in sd:
+        out["skip"] = _conv(sd, f"{key}.skip")
+    return out
+
+
+def _gdn(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    """CompressAI GDN stores reparametrized beta/gamma; ours uses the same
+    storage convention, so the tensors copy through."""
+    return {"beta": _np(sd[f"{key}.beta"]), "gamma": _np(sd[f"{key}.gamma"])}
+
+
+def _rbs(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """CompressAI `ResidualBlockWithStride` -> ResidualBlockWithStride."""
+    out = {"conv1": _conv(sd, f"{key}.conv1"), "conv2": _conv(sd, f"{key}.conv2"),
+           "gdn": _gdn(sd, f"{key}.gdn")}
+    if f"{key}.skip.weight" in sd:
+        out["skip"] = _conv(sd, f"{key}.skip")
+    return out
+
+
+def _subpel(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """CompressAI `subpel_conv3x3` (Sequential[conv, PixelShuffle])."""
+    return {"conv": _conv(sd, f"{key}.0")}
+
+
+def _rbu(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """CompressAI `ResidualBlockUpsample` -> ResidualBlockUpsample."""
+    return {"subpel": _subpel(sd, f"{key}.subpel_conv"),
+            "conv": _conv(sd, f"{key}.conv"),
+            "igdn": _gdn(sd, f"{key}.igdn"),
+            "upsample": _subpel(sd, f"{key}.upsample")}
+
+
+def _residual_unit(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """CompressAI AttentionBlock ResidualUnit (conv Sequential 1x1/3x3/1x1)."""
+    return {"c0": _conv(sd, f"{key}.conv.0"), "c1": _conv(sd, f"{key}.conv.2"),
+            "c2": _conv(sd, f"{key}.conv.4")}
+
+
+def _swatten(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `SWAtten` (tcm.py:270-291 / raw2bit.py:186-210) -> our
+    models.tcm.SWAtten."""
+    out: Dict[str, Any] = {
+        "in_conv": _conv(sd, f"{key}.in_conv"),
+        "out_conv": _conv(sd, f"{key}.out_conv"),
+        "non_local": {"w": _swin_block(sd, f"{key}.non_local_block.block_1"),
+                      "sw": _swin_block(sd, f"{key}.non_local_block.block_2")},
+        "b3": _conv(sd, f"{key}.conv_b.3"),
+    }
+    for i in range(3):
+        out[f"a{i}"] = _residual_unit(sd, f"{key}.conv_a.{i}")
+        out[f"b{i}"] = _residual_unit(sd, f"{key}.conv_b.{i}")
+    return out
+
+
+def _conv_trans_block(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference TCM `ConvTransBlock` (tcm.py:242-268) -> our ConvTransBlock."""
+    return {
+        "conv1_1": _conv(sd, f"{key}.conv1_1"),
+        "conv1_2": _conv(sd, f"{key}.conv1_2"),
+        "conv_block": _residual_block(sd, f"{key}.conv_block"),
+        "trans_block": _swin_block(sd, f"{key}.trans_block"),
+    }
+
+
+def _ca_linear(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """raw2bit `CALayer` (Linear form, raw2bit.py:238-254) -> CALayerLinear."""
+    return {"fc0": dense_params(sd, f"{key}.fc.0"),
+            "fc1": dense_params(sd, f"{key}.fc.2")}
+
+
+def _residual_block_ca(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    out = {"conv1": _conv(sd, f"{key}.conv1"), "conv2": _conv(sd, f"{key}.conv2"),
+           "ca": _ca_linear(sd, f"{key}.ca")}
+    if f"{key}.skip.weight" in sd:
+        out["skip"] = _conv(sd, f"{key}.skip")
+    return out
+
+
+def _sft_spatial(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """raw2bit `SpatialFeatureTransform` (raw2bit.py:860-886)."""
+    return {"scale0": _conv(sd, f"{key}.cond_scale.0"),
+            "scale1": _conv(sd, f"{key}.cond_scale.2"),
+            "shift0": _conv(sd, f"{key}.cond_shift.0"),
+            "shift1": _conv(sd, f"{key}.cond_shift.2")}
+
+
+def _conv_trans_block_mzj(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference CIMC `ConvTransBlock_mzj` (raw2bit.py:292-328)."""
+    return {
+        "conv1_1": _conv(sd, f"{key}.conv1_1"),
+        "conv1_2": _conv(sd, f"{key}.conv1_2"),
+        "conv_block": _residual_block_ca(sd, f"{key}.conv_block"),
+        "sft": _sft_spatial(sd, f"{key}.spatial_transform"),
+        "trans_block": _swin_block(sd, f"{key}.trans_block"),
+    }
+
+
+def _hyconv(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    return {"conv": _conv(sd, f"{key}.conv")}
+
+
+def _hybrid_condition(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `HybridConditionModule` (raw2bit.py:817-858) -> our
+    ops.color.HybridConditionModule."""
+    unet: Dict[str, Any] = {
+        "in_conv": _hyconv(sd, f"{key}.in_conv"),
+        "out_conv": _hyconv(sd, f"{key}.out_conv"),
+    }
+    for i in (1, 2, 3):
+        unet[f"enc{i}"] = {"down": _hyconv(sd, f"{key}.enc_{i}.down"),
+                           "conv": _hyconv(sd, f"{key}.enc_{i}.conv")}
+        # dec up is Sequential(Upsample, HyCondModConvBlock) -> .up.1
+        unet[f"dec{i}"] = {"up": _hyconv(sd, f"{key}.dec_{i}.up.1"),
+                           "conv": _hyconv(sd, f"{key}.dec_{i}.conv")}
+    out: Dict[str, Any] = {"unet": unet}
+    out["cond1_0"] = _conv(sd, f"{key}.CondNet1.0")
+    out["cond1_1"] = _conv(sd, f"{key}.CondNet1.2")
+    out["cond2_0"] = _conv(sd, f"{key}.CondNet2.0")
+    out["cond2_1"] = _conv(sd, f"{key}.CondNet2.2")
+    out["cond3_0"] = _conv(sd, f"{key}.CondNet3.0")
+    out["cond3_1"] = _conv(sd, f"{key}.CondNet3.2")
+    out["cond3_2"] = _conv(sd, f"{key}.CondNet3.4")
+    return out
+
+
+def _entropy_bottleneck(sd: Mapping[str, Any], key: str,
+                        template: Optional[Mapping[str, Any]] = None) -> Dict[str, Any]:
+    """CompressAI `EntropyBottleneck` params (quantiles, _matrixK/_biasK/
+    _factorK) -> ours (quantiles, matrixK/biasK/factorK). Missing tensors
+    (e.g. minimal oracle state dicts) fall back to `template` values."""
+    out: Dict[str, Any] = dict(template or {})
+    if f"{key}.quantiles" in sd:
+        out["quantiles"] = _np(sd[f"{key}.quantiles"])
+    i = 0
+    while f"{key}._matrix{i}" in sd:
+        out[f"matrix{i}"] = _np(sd[f"{key}._matrix{i}"])
+        out[f"bias{i}"] = _np(sd[f"{key}._bias{i}"])
+        if f"{key}._factor{i}" in sd:
+            out[f"factor{i}"] = _np(sd[f"{key}._factor{i}"])
+        i += 1
+    return out
+
+
+def convert_raw2bit_state_dict(
+    sd: Mapping[str, Any],
+    template: Mapping[str, Any],
+    config=(2, 2, 2, 2, 2, 2, 2),
+    modulation_blocks: int = 1,
+) -> Dict[str, Any]:
+    """Reference `raw_compression_tcm_final` (raw2bit.py:1614-2027) torch
+    state dict -> flax params for our models.raw2bit.RawCompression flagship.
+
+    `template` is the output of `model.init` (used for entropy-bottleneck
+    tensors absent from minimal oracle state dicts and as the target
+    structure). Sequential index layout: g_s = [stem] + m_up1+[up] +
+    m_up2+[up] + m_up3+[subpel] + [ResidualBlock, subpel]; h_a = [stem] +
+    blocks + [conv]; h_{mean,scale}_s = [stem] + blocks + [subpel].
+    """
+    p: Dict[str, Any] = {}
+    p["classifier"] = _color_condition_gfm(sd, "classifier")
+    p["lsc"] = _lsc(sd, "lsc")
+    p["local_condition"] = _hybrid_condition(sd, "local_condition")
+    p["conv_first"] = _conv(sd, "conv_first")
+    p["conv_down"] = _rbs(sd, "conv_down")
+
+    for k in (1, 2, 3):
+        for i in range(modulation_blocks):
+            key = f"gfm{k}.{i}" if f"gfm{k}.{i}.conv0.weight" in sd else f"gfm{k}"
+            p[f"gfm{k - 1}"] = _res_gfm(sd, key)
+        for i in range(config[k - 1]):
+            p[f"m_down{k}_{i}"] = _conv_trans_block_mzj(sd, f"m_down{k}.{i}")
+    p["down1"] = _rbs(sd, "m_down1_down")
+    p["down2"] = _rbs(sd, "m_down2_down")
+    p["down3"] = _conv(sd, "m_down3_down")
+
+    # g_s sequential indices
+    idx = 0
+    p["gs_stem"] = _rbu(sd, f"g_s.{idx}"); idx += 1
+    for stage, ups in ((1, "_rbu"), (2, "_rbu"), (3, "_subpel")):
+        cnt = config[2 + stage]
+        for i in range(cnt):
+            p[f"m_up{stage}_{i}"] = _conv_trans_block(sd, f"g_s.{idx}"); idx += 1
+        if ups == "_rbu":
+            p[f"up{stage}"] = _rbu(sd, f"g_s.{idx}")
+        else:
+            p[f"up{stage}"] = _subpel(sd, f"g_s.{idx}")
+        idx += 1
+    p["tail_block"] = _residual_block(sd, f"g_s.{idx}"); idx += 1
+    p["tail_out"] = _subpel(sd, f"g_s.{idx}")
+
+    p["ha_stem"] = _rbs(sd, "h_a.0")
+    for i in range(config[0]):
+        p[f"ha_{i}"] = _conv_trans_block(sd, f"h_a.{1 + i}")
+    p["ha_out"] = _conv(sd, f"h_a.{1 + config[0]}")
+    for ours, theirs in (("hms", "h_mean_s"), ("hss", "h_scale_s")):
+        p[f"{ours}_stem"] = _rbu(sd, f"{theirs}.0")
+        for i in range(config[3]):
+            p[f"{ours}_{i}"] = _conv_trans_block(sd, f"{theirs}.{1 + i}")
+        p[f"{ours}_out"] = _subpel(sd, f"{theirs}.{1 + config[3]}")
+
+    num_slices = 0
+    while f"cc_mean_transforms.{num_slices}.0.weight" in sd:
+        num_slices += 1
+    charm: Dict[str, Any] = {}
+    for i in range(num_slices):
+        for ours, theirs in ((f"mean{i}", "mean"), (f"scale{i}", "scale")):
+            charm[ours] = {
+                "atten": _swatten(sd, f"atten_{theirs}.{i}.0"),
+                "c0": _conv(sd, f"cc_{theirs}_transforms.{i}.0"),
+                "c1": _conv(sd, f"cc_{theirs}_transforms.{i}.2"),
+                "c2": _conv(sd, f"cc_{theirs}_transforms.{i}.4"),
+            }
+        charm[f"lrp{i}"] = {"c0": _conv(sd, f"lrp_transforms.{i}.0"),
+                            "c1": _conv(sd, f"lrp_transforms.{i}.2"),
+                            "c2": _conv(sd, f"lrp_transforms.{i}.4")}
+    p["charm"] = charm
+
+    tpl = template.get("params", template)
+    p["entropy_bottleneck"] = _entropy_bottleneck(
+        sd, "entropy_bottleneck", tpl.get("entropy_bottleneck"))
     return {"params": p}
 
 

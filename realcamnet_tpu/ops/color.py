@@ -217,18 +217,19 @@ class HybridConditionModule(nn.Module):
         pd = self.param_dtype
         nf = self.cond_c
         feat = LFMConditionModule(nf, self.mid_c, param_dtype=pd, name="unet")(raw)
+        # CondNet topologies exactly as `raw2bit.py:843-857`: CondNet1 ends in
+        # a 1x1 conv, CondNet2/3 end in a bare stride-2 conv (no trailing 1x1
+        # or activation).
         c1 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond1_0")(feat)
         c1 = Conv2d(self.cond_c, 1, 1, 0, param_dtype=pd, name="cond1_1")(leaky_relu(c1, 0.1))
         c2 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond2_0")(feat)
         c2 = leaky_relu(c2, 0.1)
-        c2 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond2_1")(c2)
-        c2 = Conv2d(self.cond_c, 1, 1, 0, param_dtype=pd, name="cond2_2")(leaky_relu(c2, 0.1))
+        c2 = Conv2d(self.cond_c, 3, 2, 1, param_dtype=pd, name="cond2_1")(c2)
         c3 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond3_0")(feat)
         c3 = leaky_relu(c3, 0.1)
         c3 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond3_1")(c3)
         c3 = leaky_relu(c3, 0.1)
-        c3 = Conv2d(nf, 3, 2, 1, param_dtype=pd, name="cond3_2")(c3)
-        c3 = Conv2d(self.cond_c, 1, 1, 0, param_dtype=pd, name="cond3_3")(leaky_relu(c3, 0.1))
+        c3 = Conv2d(self.cond_c, 3, 2, 1, param_dtype=pd, name="cond3_2")(c3)
         return [c1, c2, c3]
 
 

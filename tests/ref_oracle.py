@@ -29,22 +29,6 @@ _STUBS = {
     "ipdb": ["set_trace"],
     "fvcore": [],
     "fvcore.nn": ["FlopCountAnalysis", "flop_count_table"],
-    # compressai: import-time names for models/tcm.py and models/raw2bit.py.
-    # Class stubs are inert `object`s — parity tests only instantiate the
-    # reference classes that don't touch them (WMSA, Block, SwinBlock...).
-    "compressai": [],
-    "compressai.entropy_models": ["EntropyBottleneck", "GaussianConditional"],
-    "compressai.ans": ["BufferedRansEncoder", "RansDecoder"],
-    "compressai.models": ["CompressionModel"],
-    "compressai.models.google": ["JointAutoregressiveHierarchicalPriors"],
-    "compressai.models.utils": ["conv", "deconv", "update_registered_buffers"],
-    "compressai.layers": [
-        "AttentionBlock", "ResidualBlock", "ResidualBlockUpsample",
-        "ResidualBlockWithStride", "conv3x3", "subpel_conv3x3", "GDN",
-        "MaskedConv2d",
-    ],
-    "compressai.datasets": ["ImageFolder", "Vimeo90kDataset"],
-    "compressai.zoo": ["load_state_dict", "models"],
 }
 
 _loaded: dict = {}
@@ -119,6 +103,74 @@ def _install_stubs():
     except ImportError:
         for name, mod in _timm_stubs().items():
             sys.modules.setdefault(name, mod)
+    try:
+        import compressai  # noqa: F401
+    except ImportError:
+        for name, mod in _compressai_stubs().items():
+            sys.modules.setdefault(name, mod)
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules.setdefault("torchvision", tv)
+        sys.modules.setdefault("torchvision.transforms", tv.transforms)
+        sys.modules.setdefault("torchvision.models", tv.models)
+
+
+def _compressai_stubs():
+    """Functional CompressAI stand-ins (tests/compressai_stub.py) so the
+    reference tcm.py / raw2bit.py run as transform-path oracles."""
+    from tests import compressai_stub as cs
+
+    root = types.ModuleType("compressai")
+    em = types.ModuleType("compressai.entropy_models")
+    em.EntropyBottleneck = cs.EntropyBottleneck
+    em.GaussianConditional = cs.GaussianConditional
+    ans = types.ModuleType("compressai.ans")
+    ans.BufferedRansEncoder = object
+    ans.RansDecoder = object
+    models_m = types.ModuleType("compressai.models")
+    models_m.CompressionModel = cs.CompressionModel
+    google = types.ModuleType("compressai.models.google")
+    for n in ("FactorizedPrior", "ScaleHyperprior", "MeanScaleHyperprior",
+              "JointAutoregressiveHierarchicalPriors"):
+        setattr(google, n, object)
+    utils = types.ModuleType("compressai.models.utils")
+    utils.conv = cs.conv
+    utils.deconv = cs.deconv
+    utils.update_registered_buffers = cs.update_registered_buffers
+    layers = types.ModuleType("compressai.layers")
+    for n in ("AttentionBlock", "ResidualBlock", "ResidualBlockUpsample",
+              "ResidualBlockWithStride", "conv3x3", "subpel_conv3x3", "GDN",
+              "MaskedConv2d", "conv1x1"):
+        setattr(layers, n, getattr(cs, n))
+    datasets = types.ModuleType("compressai.datasets")
+    datasets.ImageFolder = object
+    datasets.Vimeo90kDataset = object
+    zoo = types.ModuleType("compressai.zoo")
+    zoo.models = {}
+    zoo.load_state_dict = object
+    models_m.google = google
+    models_m.utils = utils
+    root.entropy_models = em
+    root.ans = ans
+    root.models = models_m
+    root.layers = layers
+    root.datasets = datasets
+    root.zoo = zoo
+    return {
+        "compressai": root,
+        "compressai.entropy_models": em,
+        "compressai.ans": ans,
+        "compressai.models": models_m,
+        "compressai.models.google": google,
+        "compressai.models.utils": utils,
+        "compressai.layers": layers,
+        "compressai.datasets": datasets,
+        "compressai.zoo": zoo,
+    }
 
 
 def load(modname: str):

@@ -1,0 +1,84 @@
+"""Golden-parity: the flagship joint model `raw_compression_tcm_final` vs the
+reference torch code (transform path).
+
+The reference runs with functional CompressAI stand-ins (tests/
+compressai_stub.py): real layer semantics (GDN, residual blocks, subpel) and
+a real erfc Gaussian likelihood; the factorized prior returns dummy z
+likelihoods, so parity is asserted on x_hat / y / lft / lsc / para(mu,sigma)
+/ y-likelihoods — everything RD-critical except the (separately unit-tested)
+z prior.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import ref_oracle
+
+pytestmark = pytest.mark.skipif(
+    not ref_oracle.available(), reason="reference checkout or torch unavailable")
+
+
+def test_flagship_raw2bit_full_parity():
+    import torch
+
+    torch.manual_seed(0)
+    rb = ref_oracle.load("raw2bit")
+    from realcamnet_tpu.interop.torch_import import convert_raw2bit_state_dict
+    from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
+
+    cfg = (1, 1, 1, 1, 1, 1, 1)
+    # N >= 32: the reference hyper path hardcodes head_dim 32
+    # (`raw2bit.py:1689,1698`); spatial 256 so y is 16x16 > the 8x8 window
+    # (the reference SwinBlock pad branch is broken, SURVEY.md §0.1).
+    ref = rb.raw_compression_tcm_final(
+        config=list(cfg), head_dim=[8] * 7, N=32, M=320, num_slices=5).eval()
+
+    rng = np.random.default_rng(3)
+    raw = rng.standard_normal((1, 256, 256, 4), np.float32) * 0.2
+    cond = rng.standard_normal((1, 256, 256, 4), np.float32) * 0.2
+    coord = rng.standard_normal((1, 256, 256, 2), np.float32)
+
+    def t(a):
+        return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+    with torch.no_grad():
+        out_ref = ref([t(raw), t(cond), t(coord)])
+
+    model = raw_compression_tcm_final(config=cfg, head_dim=(8,) * 7, n=32,
+                                      m=320, num_slices=5)
+    template = jax.eval_shape(model.init, jax.random.key(0),
+                              jnp.asarray(raw), jnp.asarray(cond),
+                              jnp.asarray(coord))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = convert_raw2bit_state_dict(ref.state_dict(), template, config=cfg)
+    out = jax.jit(lambda p, r, c, co: model.apply(p, r, c, co))(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(raw),
+        jnp.asarray(cond), jnp.asarray(coord))
+
+    def nhwc(x):
+        return x.detach().numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(out["lsc"]), nhwc(out_ref["lsc"]),
+                               atol=1e-5, err_msg="lsc (CADR)")
+    np.testing.assert_allclose(np.asarray(out["lft"]), nhwc(out_ref["lft"]),
+                               atol=1e-5, err_msg="lft (local condition)")
+    np.testing.assert_allclose(np.asarray(out["y"]), nhwc(out_ref["y"]),
+                               atol=5e-4, err_msg="y (analysis transform)")
+    np.testing.assert_allclose(np.asarray(out["para"]["means"]),
+                               nhwc(out_ref["para"]["means"]), atol=1e-3,
+                               err_msg="ChARM means")
+    np.testing.assert_allclose(np.asarray(out["para"]["scales"]),
+                               nhwc(out_ref["para"]["scales"]), atol=1e-3,
+                               err_msg="ChARM scales")
+    np.testing.assert_allclose(np.asarray(out["likelihoods"]["y"]),
+                               nhwc(out_ref["likelihoods"]["y"]), atol=1e-4,
+                               err_msg="y likelihoods")
+    # x_hat passes through the full 8-block synthesis incl. GDN divisions;
+    # cross-framework float32 drift reaches ~2e-3 on <0.5% of pixels while
+    # semantic mismatches show up at O(0.1).
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               nhwc(out_ref["x_hat"]), atol=5e-3,
+                               err_msg="x_hat (synthesis)")
