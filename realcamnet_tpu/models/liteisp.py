@@ -26,6 +26,7 @@ from realcamnet_tpu.ops.color import (
 )
 from realcamnet_tpu.ops.dwt import dwt_forward, dwt_inverse
 from realcamnet_tpu.ops.modulation import (
+    Dense,
     GFMLayer,
     LensShadingCorrection,
     ResBlockWithModulation,
@@ -313,6 +314,176 @@ class MWISP(nn.Module):
         return pixel_shuffle(t, 2)
 
 
+class _GCAttention(nn.Module):
+    """Global-context attention (GCNet ContextBlock): softmax-pooled context
+    vector -> 1x1 bottleneck transform -> additive broadcast."""
+
+    channels: int
+    reduction: int = 8
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pd = self.param_dtype
+        b, h, w, c = x.shape
+        attn = Conv2d(1, 1, 1, 0, param_dtype=pd, name="mask")(x)  # (B,H,W,1)
+        attn = jax.nn.softmax(attn.reshape(b, h * w, 1), axis=1)
+        ctx = jnp.einsum("bnc,bnk->bkc", x.reshape(b, h * w, c), attn)  # (B,1,C)
+        t = Conv2d(max(1, c // self.reduction), 1, 1, 0, param_dtype=pd,
+                   name="t0")(ctx[:, :, None, :])
+        t = jax.nn.relu(t)
+        t = Conv2d(c, 1, 1, 0, param_dtype=pd, name="t1")(t)
+        return x + t
+
+
+class GCRDB(nn.Module):
+    """Global-context residual dense block (AWNet `GCRDB`; the reference's
+    copy at `LiteISP.py:2221-2318` imports it from a module that was never
+    shipped — SURVEY.md §0.1 — so this is a from-scratch implementation of
+    the published AWNet block): 4 dense 3x3 convs (growth g) + 1x1 fusion +
+    global-context attention, residual."""
+
+    channels: int
+    growth: int = 32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pd = self.param_dtype
+        feats = [x]
+        for i in range(4):
+            h = Conv2d(self.growth, 3, 1, 1, param_dtype=pd, name=f"dense{i}")(
+                jnp.concatenate(feats, axis=-1))
+            feats.append(leaky_relu(h, 0.2))
+        fused = Conv2d(self.channels, 1, 1, 0, param_dtype=pd, name="fuse")(
+            jnp.concatenate(feats, axis=-1))
+        fused = _GCAttention(self.channels, param_dtype=pd, name="gc")(fused)
+        return x + fused
+
+
+class GCWTResDown(nn.Module):
+    """AWNet wavelet downsample: strided-conv branch + Haar-DWT branch,
+    summed; also returns the DWT coefficients for the decoder skip."""
+
+    channels: int  # input channels; output 2x at half resolution
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pd = self.param_dtype
+        dwt = dwt_forward(x)  # (H/2, 4C)
+        down = Conv2d(2 * self.channels, 3, 2, 1, param_dtype=pd, name="down")(x)
+        wt = Conv2d(2 * self.channels, 1, 1, 0, param_dtype=pd, name="wt")(dwt)
+        return down + wt, dwt
+
+
+class GCIWTResUp(nn.Module):
+    """AWNet inverse-wavelet upsample: IWT of a 1x1-projected feature plus an
+    IWT path over the encoder's stored DWT coefficients."""
+
+    out_c: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip_dwt):
+        pd = self.param_dtype
+        up = dwt_inverse(Conv2d(4 * self.out_c, 1, 1, 0, param_dtype=pd,
+                                name="proj")(x))
+        skip = Conv2d(self.out_c, 1, 1, 0, param_dtype=pd,
+                      name="skip")(dwt_inverse(skip_dwt))
+        return up + skip
+
+
+class ShortcutBlock(nn.Module):
+    """AWNet `shortcutblock`: conv-relu-conv + channel attention."""
+
+    channels: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pd = self.param_dtype
+        h = Conv2d(self.channels, 3, 1, 1, param_dtype=pd, name="conv0")(x)
+        h = jax.nn.relu(h)
+        h = Conv2d(self.channels, 3, 1, 1, param_dtype=pd, name="conv1")(h)
+        from realcamnet_tpu.ops.blocks import CALayer
+
+        return CALayer(self.channels, 16, param_dtype=pd, name="se")(h)
+
+
+class AWNet(nn.Module):
+    """AWNet baseline (attentive-wavelet UNet, reference `AWNet`
+    `LiteISP.py:2221-2319`; its support modules were never shipped, so this
+    is a working TPU-native reconstruction). 5 levels (64..1024 ch), GCRDB
+    stacks, wavelet down/up, SE gates, 2x PixelShuffle tail -> sRGB."""
+
+    base: int = 64
+    blocks: Sequence[int] = (2, 2, 2, 4, 4)
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, raw, cond=None, coord=None, train: bool = False):
+        from realcamnet_tpu.ops.blocks import CALayer
+
+        pd = self.param_dtype
+        c = self.base
+        x = Conv2d(c, 3, 1, 1, param_dtype=pd, name="conv1")(raw)
+
+        skips, dwts = [], []
+        for lvl in range(4):
+            ch = c * (1 << lvl)
+            h = CALayer(ch, 16, param_dtype=pd, name=f"se{lvl + 1}")(x)
+            for i in range(self.blocks[lvl]):
+                h = GCRDB(ch, param_dtype=pd, name=f"layer{lvl + 1}_b{i}")(h)
+            skips.append(ShortcutBlock(ch, pd, name=f"sc{lvl + 1}")(h))
+            x, dwt = GCWTResDown(ch, pd, name=f"down{lvl + 1}")(h)
+            dwts.append(dwt)
+
+        ch = c * 16
+        x = CALayer(ch, 16, param_dtype=pd, name="se5")(x)
+        for i in range(self.blocks[4]):
+            x = GCRDB(ch, param_dtype=pd, name=f"layer5_b{i}")(x)
+
+        for lvl in range(3, -1, -1):
+            ch = c * (1 << lvl)
+            x = GCIWTResUp(ch, pd, name=f"up{lvl + 1}")(x, dwts[lvl]) + skips[lvl]
+
+        t = Conv2d(c * 4, 3, 1, 1, param_dtype=pd, name="tail_conv0")(x)
+        t = pixel_shuffle(t, 2)
+        t = leaky_relu(t, 0.2)
+        return Conv2d(3, 3, 1, 1, param_dtype=pd, name="tail_conv1")(t)
+
+
+class ConditionNet(nn.Module):
+    """Legacy FiLM-everywhere net (reference `ConditionNet`,
+    `LiteISP.py:165-212` — unrunnable there: it calls `Color_Condition` with
+    a keyword that doesn't exist, SURVEY.md §0.1; fixed here). Applies
+    scale/shift from a global color vector at three points of a tiny
+    1x1-conv net over a 3-ch image."""
+
+    nf: int = 64
+    cond_c: int = 3
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, content, cond, train: bool = False):
+        pd = self.param_dtype
+        vec, _ = ColorCondition(self.cond_c, param_dtype=pd,
+                                name="classifier")(cond, train=train)
+
+        def film(x, out_c, tag):
+            s = Dense(out_c, pd, name=f"scale_{tag}")(vec)
+            t = Dense(out_c, pd, name=f"shift_{tag}")(vec)
+            return x * s[:, None, None, :] + t[:, None, None, :] + x
+
+        h = Conv2d(self.nf, 1, 1, 0, param_dtype=pd, name="conv_first")(content)
+        h = jax.nn.relu(film(h, self.nf, "first"))
+        h = Conv2d(self.nf, 1, 1, 0, param_dtype=pd, name="hr_conv")(h)
+        h = jax.nn.relu(film(h, self.nf, "hr"))
+        h = Conv2d(3, 1, 1, 0, param_dtype=pd, name="conv_last")(h)
+        return film(h, 3, "last")
+
+
 # --------------------------------------------------------------------------
 # Model zoo factories, named after the reference classes.
 # --------------------------------------------------------------------------
@@ -407,6 +578,11 @@ def mwisp() -> MWISP:
     return MWISP()
 
 
+def awnet() -> AWNet:
+    """`AWNet` baseline, `LiteISP.py:2221-2319` (working reconstruction)."""
+    return AWNet()
+
+
 ISP_MODELS = {
     "LiteISPNet": lite_isp_net,
     "LiteISPNet_LSC": lite_isp_net_lsc,
@@ -424,4 +600,5 @@ ISP_MODELS = {
     "ISPNet_gfm": isp_net_gfm,
     "ResUNet": res_unet,
     "MWISP": mwisp,
+    "AWNet": awnet,
 }

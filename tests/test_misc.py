@@ -66,3 +66,37 @@ def test_lower_bound_gradient_semantics():
     g2 = jax.grad(f2)(jnp.array([0.5, 1.5]))
     # Negative incoming grad (pushes x up): passes even below bound.
     np.testing.assert_allclose(g2, [-1.0, -1.0])
+
+
+def test_awnet_forward():
+    """AWNet baseline (working reconstruction of the reference's dead class,
+    `LiteISP.py:2221-2319`): packed raw -> sRGB at 2x."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realcamnet_tpu.models.liteisp import awnet
+
+    m = awnet()
+    raw = jnp.ones((1, 32, 32, 4), jnp.float32)
+    v = jax.jit(m.init)(jax.random.key(0), raw)
+    y = jax.jit(lambda v, x: m.apply(v, x))(v, raw)
+    assert y.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_condition_net_forward():
+    """ConditionNet (fixed legacy model, `LiteISP.py:165-212`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realcamnet_tpu.models.liteisp import ConditionNet
+
+    m = ConditionNet(cond_c=8)
+    content = jnp.ones((2, 16, 16, 3), jnp.float32)
+    cond = jnp.ones((2, 32, 32, 4), jnp.float32)
+    v = jax.jit(m.init)(jax.random.key(0), content, cond)
+    y = jax.jit(lambda v, a, b: m.apply(v, a, b))(v, content, cond)
+    assert y.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
