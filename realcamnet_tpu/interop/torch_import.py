@@ -473,15 +473,27 @@ def convert_raw2bit_state_dict(
     p["tail_block"] = _residual_block(sd, f"g_s.{idx}"); idx += 1
     p["tail_out"] = _subpel(sd, f"g_s.{idx}")
 
+    _hyper_and_charm(sd, p, config[0], config[3])
+
+    tpl = template.get("params", template)
+    p["entropy_bottleneck"] = _entropy_bottleneck(
+        sd, "entropy_bottleneck", tpl.get("entropy_bottleneck"))
+    return {"params": p}
+
+
+def _hyper_and_charm(sd: Mapping[str, Any], p: Dict[str, Any],
+                     ha_count: int, hs_count: int) -> None:
+    """Shared hyper (h_a/h_mean_s/h_scale_s) + ChARM head layout of TCM
+    (`tcm.py:359-425`) and every raw2bit variant."""
     p["ha_stem"] = _rbs(sd, "h_a.0")
-    for i in range(config[0]):
+    for i in range(ha_count):
         p[f"ha_{i}"] = _conv_trans_block(sd, f"h_a.{1 + i}")
-    p["ha_out"] = _conv(sd, f"h_a.{1 + config[0]}")
+    p["ha_out"] = _conv(sd, f"h_a.{1 + ha_count}")
     for ours, theirs in (("hms", "h_mean_s"), ("hss", "h_scale_s")):
         p[f"{ours}_stem"] = _rbu(sd, f"{theirs}.0")
-        for i in range(config[3]):
+        for i in range(hs_count):
             p[f"{ours}_{i}"] = _conv_trans_block(sd, f"{theirs}.{1 + i}")
-        p[f"{ours}_out"] = _subpel(sd, f"{theirs}.{1 + config[3]}")
+        p[f"{ours}_out"] = _subpel(sd, f"{theirs}.{1 + hs_count}")
 
     num_slices = 0
     while f"cc_mean_transforms.{num_slices}.0.weight" in sd:
@@ -499,6 +511,38 @@ def convert_raw2bit_state_dict(
                             "c1": _conv(sd, f"lrp_transforms.{i}.2"),
                             "c2": _conv(sd, f"lrp_transforms.{i}.4")}
     p["charm"] = charm
+
+
+def convert_tcm_state_dict(
+    sd: Mapping[str, Any],
+    template: Mapping[str, Any],
+    config=(2, 2, 2, 2, 2, 2),
+) -> Dict[str, Any]:
+    """Reference `TCM` (tcm.py:320-637) torch state dict -> flax params for
+    our models.tcm.TCM. g_a = [stem] + (blocks + down)x3; g_s mirrored."""
+    p: Dict[str, Any] = {}
+    idx = 0
+    p["ga_stem"] = _rbs(sd, f"g_a.{idx}"); idx += 1
+    for stage in (1, 2, 3):
+        for i in range(config[stage - 1]):
+            p[f"m_down{stage}_{i}"] = _conv_trans_block(sd, f"g_a.{idx}"); idx += 1
+        if stage < 3:
+            p[f"ga_down{stage}"] = _rbs(sd, f"g_a.{idx}")
+        else:
+            p["ga_out"] = _conv(sd, f"g_a.{idx}")
+        idx += 1
+    idx = 0
+    p["gs_stem"] = _rbu(sd, f"g_s.{idx}"); idx += 1
+    for stage in (1, 2, 3):
+        for i in range(config[2 + stage]):
+            p[f"m_up{stage}_{i}"] = _conv_trans_block(sd, f"g_s.{idx}"); idx += 1
+        if stage < 3:
+            p[f"gs_up{stage}"] = _rbu(sd, f"g_s.{idx}")
+        else:
+            p["gs_out"] = _subpel(sd, f"g_s.{idx}")
+        idx += 1
+
+    _hyper_and_charm(sd, p, config[0], config[3])
 
     tpl = template.get("params", template)
     p["entropy_bottleneck"] = _entropy_bottleneck(

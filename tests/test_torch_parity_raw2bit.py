@@ -82,3 +82,43 @@ def test_flagship_raw2bit_full_parity():
     np.testing.assert_allclose(np.asarray(out["x_hat"]),
                                nhwc(out_ref["x_hat"]), atol=5e-3,
                                err_msg="x_hat (synthesis)")
+
+
+def test_tcm_full_parity():
+    """Full TCM codec (tcm.py:320-490) vs the reference with converted
+    weights: y-likelihoods, ChARM mu/sigma, x_hat."""
+    import torch
+
+    torch.manual_seed(1)
+    tcm_ref = ref_oracle.load("tcm")
+    from realcamnet_tpu.interop.torch_import import convert_tcm_state_dict
+    from realcamnet_tpu.models.tcm import TCM
+
+    cfg = (1, 1, 1, 1, 1, 1)
+    ref = tcm_ref.TCM(config=list(cfg), head_dim=[8] * 6, N=32, M=320,
+                      num_slices=5).eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 256, 256, 3), np.float32) * 0.2
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+
+    model = TCM(config=cfg, head_dim=(8,) * 6, n=32, m=320, num_slices=5)
+    template = jax.eval_shape(model.init, jax.random.key(0), jnp.asarray(x))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = convert_tcm_state_dict(ref.state_dict(), template, config=cfg)
+    out = jax.jit(lambda p, a: model.apply(p, a))(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+
+    def nhwc(t):
+        return t.detach().numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(out["para"]["means"]),
+                               nhwc(out_ref["para"]["means"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["para"]["scales"]),
+                               nhwc(out_ref["para"]["scales"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["likelihoods"]["y"]),
+                               nhwc(out_ref["likelihoods"]["y"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               nhwc(out_ref["x_hat"]), atol=5e-3)
