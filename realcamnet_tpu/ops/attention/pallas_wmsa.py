@@ -28,26 +28,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
     q/k/v: (WIN_BLK, heads, P2, hd); bias: (heads, P2, P2);
     mask: (WIN_BLK, P2, P2) additive; o: (WIN_BLK, heads, P2, hd).
     """
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    # Batched over (win, head): sim (W, H, P2, P2).
+    blk, heads, p2, hd = q_ref.shape
+    # Mosaic tpu.matmul supports at most ONE batch dim: merge (win, head)
+    # into a single batch axis for the two matmuls, unmerge for the
+    # per-head bias / per-window mask adds.
+    q = q_ref[:].astype(jnp.float32).reshape(blk * heads, p2, hd)
+    k = k_ref[:].astype(jnp.float32).reshape(blk * heads, p2, hd)
+    v = v_ref[:].astype(jnp.float32).reshape(blk * heads, p2, hd)
     sim = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
+    sim = sim.reshape(blk, heads, p2, p2)
     sim = sim + bias_ref[:].astype(jnp.float32)[None]
     sim = sim + mask_ref[:].astype(jnp.float32)[:, None]
     sim = sim - jnp.max(sim, axis=-1, keepdims=True)
     p = jnp.exp(sim)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        p.reshape(blk * heads, p2, p2), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(blk, heads, p2, hd).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

@@ -41,22 +41,44 @@ def _relative_index(window: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _shift_mask(h_windows: int, w_windows: int, window: int, shift: int) -> np.ndarray:
-    """Additive attention mask (nW, p^2, p^2): 0 allowed, -inf masked.
-
-    Matches `WMSA.generate_mask` (`tcm.py:160-177`): after rolling by -shift,
-    the last window row/col contain wrapped content that must not attend
-    across the wrap seam.
-    """
+def _shift_patterns(window: int, shift: int):
+    """The two (p^2, p^2) seam patterns (bool): row-seam (applies to the last
+    window row) and col-seam (last window column). Matches
+    `WMSA.generate_mask` (`tcm.py:160-177`): after rolling by -shift, the
+    last window row/col contain wrapped content that must not attend across
+    the wrap seam."""
     p = window
-    mask = np.zeros((h_windows, w_windows, p, p, p, p), dtype=bool)
     s = p - shift
-    mask[-1, :, :s, :, s:, :] = True
-    mask[-1, :, s:, :, :s, :] = True
-    mask[:, -1, :, :s, :, s:] = True
-    mask[:, -1, :, s:, :, :s] = True
-    mask = mask.reshape(h_windows * w_windows, p * p, p * p)
-    return np.where(mask, -np.inf, 0.0).astype(np.float32)
+    row = np.zeros((p, p, p, p), dtype=bool)
+    row[:s, :, s:, :] = True
+    row[s:, :, :s, :] = True
+    col = np.zeros((p, p, p, p), dtype=bool)
+    col[:, :s, :, s:] = True
+    col[:, s:, :, :s] = True
+    return (row.reshape(p * p, p * p), col.reshape(p * p, p * p))
+
+
+def _shift_mask(h_windows: int, w_windows: int, window: int, shift: int,
+                neg: float = -1e9) -> jnp.ndarray:
+    """Additive attention mask (nW, p^2, p^2): 0 allowed, `neg` masked.
+
+    Only the two (p^2, p^2) seam patterns are trace-time constants; the
+    (nW, p^2, p^2) mask is assembled on device from per-window row/col
+    flags. Embedding the full mask as an executable constant is both
+    wasteful (nW scales with image area) and catastrophically slow through
+    remote-dispatch backends that re-ship constants per call (measured 22 ms
+    vs 0.08 ms per SW-attention layer at 256x256x64 on one v5e chip)."""
+    row_pat, col_pat = _shift_patterns(window, shift)
+    row_pat = jnp.asarray(row_pat.astype(np.float32) * neg)
+    col_pat = jnp.asarray(col_pat.astype(np.float32) * neg)
+    is_last_row = jnp.zeros((h_windows,), jnp.float32).at[-1].set(1.0)
+    is_last_col = jnp.zeros((w_windows,), jnp.float32).at[-1].set(1.0)
+    flags_r = jnp.repeat(is_last_row, w_windows)  # (nW,)
+    flags_c = jnp.tile(is_last_col, h_windows)
+    mask = (flags_r[:, None, None] * row_pat[None]
+            + flags_c[:, None, None] * col_pat[None])
+    # Corner window gets row+col sums (-2e9): same effect under softmax.
+    return mask
 
 
 class WMSA(nn.Module):
@@ -114,8 +136,7 @@ class WMSA(nn.Module):
 
             nw = hw * ww
             if shift:
-                mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
-                mask = jnp.nan_to_num(mask, neginf=-1e9)
+                mask = _shift_mask(hw, ww, p, shift)
             else:
                 mask = jnp.zeros((nw, p * p, p * p), jnp.float32)
             mask = jnp.tile(mask, (b, 1, 1))
@@ -132,7 +153,7 @@ class WMSA(nn.Module):
                              preferred_element_type=jnp.float32) * scale
             sim = sim + bias_hpq[None, None].astype(sim.dtype)
             if shift:
-                mask = jnp.asarray(_shift_mask(hw, ww, p, shift))
+                mask = _shift_mask(hw, ww, p, shift)
                 sim = sim + mask[None, :, None, :, :]
             probs = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
             out = jnp.einsum("bwhpq,bwhqc->bwhpc", probs, v,
