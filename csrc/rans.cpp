@@ -157,23 +157,43 @@ void rans_decoder_free(void* handle) { delete static_cast<Decoder*>(handle); }
 
 // Decode n symbols with per-symbol table indexes; streaming (the handle keeps
 // rANS state between calls so the ChARM loop can interleave device work).
+//
+// Symbol lookup uses a lazily-built per-table LUT over the top kLutBits of
+// the rANS slot (cum): lut[b] = largest v with cdf[v] <= (b << shift), then a
+// short forward scan. This replaces a log2(L) binary search per symbol
+// (26.6 -> 34.4 Msym/s measured on a 4K-latent-sized stream; the remaining
+// cost is the serial dependency through the rANS state). Built once per
+// table per call, 4096+L steps, amortized over millions of symbols.
+constexpr int kLutBits = 12;
+
 void rans_decode_stream(
     void* handle, const int32_t* indexes, int64_t n,
     const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
     const int32_t* offsets, int32_t* out) {
   Decoder* dec = static_cast<Decoder*>(handle);
+  constexpr int kShift = kPrecision - kLutBits;
+  int32_t max_t = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (indexes[i] > max_t) max_t = indexes[i];
+  }
+  std::vector<std::vector<uint16_t>> luts(static_cast<size_t>(max_t) + 1);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t t = indexes[i];
     const uint32_t* cdf = cdfs + t * cdf_stride;
     const int32_t L = cdf_lengths[t];
     const int64_t max_value = L - 2;
     const uint32_t cum = dec->peek();
-    int32_t lo = 0, hi = L - 1;  // binary search: cdf[lo] <= cum < cdf[hi]
-    while (hi - lo > 1) {
-      const int32_t mid = (lo + hi) / 2;
-      if (cdf[mid] <= cum) lo = mid; else hi = mid;
+    std::vector<uint16_t>& lut = luts[t];
+    if (lut.empty()) {
+      lut.resize(size_t{1} << kLutBits);
+      int32_t v = 0;
+      for (uint32_t b = 0; b < (1u << kLutBits); ++b) {
+        while (v + 1 < L - 1 && cdf[v + 1] <= (b << kShift)) ++v;
+        lut[b] = static_cast<uint16_t>(v);
+      }
     }
-    int64_t value = lo;
+    int64_t value = lut[cum >> kShift];
+    while (value + 1 < L - 1 && cdf[value + 1] <= cum) ++value;
     dec->advance(cdf[value], cdf[value + 1] - cdf[value]);
     if (value == max_value) {
       int32_t cnt = 0;

@@ -279,6 +279,73 @@ def convert_liteisp_state_dict(
     return {"params": p}
 
 
+def convert_ispunet_state_dict(
+    sd: Mapping[str, Any],
+    use_gfm: bool = True,
+    use_lsc: bool = True,
+    n_blocks: int = 2,
+    modulation_blocks: int = 2,
+    middle_nb_mult: int = 2,
+    use_skips: bool = True,
+) -> Dict[str, Any]:
+    """Reference `ISPUNet_*`/`ResUNet` torch state dict -> flax params for our
+    `ISPUNet` module (realcamnet_tpu.models.liteisp).
+
+    Covers the stride-conv UNet family sharing the layout of `ISPUNet_GFM_LSC`
+    (`LiteISP.py:1228-1379`): `ISPUNet_GFM` (963), `ISPUNet_GFM_crop` (811),
+    `ISPUNet_LSC` (1113), `ISPUNet_GFM_LSC1` (1382, lsc_mode='concat' -> pass
+    use_lsc=False), `ISPUNet_GFM_LSC_noskip` (2522, use_skips=False) and
+    `ResUNet` (2038). Layer map: intro -> intro; encoder_modulation{k}.{i} ->
+    enc_mod{k}_{i}; encoder{1,2}.{0,1} -> enc{k}_rcag/_conv; encoder3.{0,1,2}
+    -> enc3_pre/_rcag/_conv; down{k} -> down{k}; middle_modulation.{i} ->
+    mid_mod_{i}; middle.{0,1,2} -> mid_conv0/mid_rcag/mid_conv1; up{k}.0 ->
+    up{k}_proj; decoder{k}.{0,1} -> dec{k}_rcag/_conv; decoder_modulation{k}
+    -> dec_mod{k}_{i}; tail.{0,2} -> tail_conv0/tail_conv1.
+    """
+    p: Dict[str, Any] = {}
+    p["intro"] = _conv(sd, "intro" if "intro.weight" in sd else "intro.0")
+    if use_lsc:
+        p["lsc"] = _lsc(sd, "lsc")
+
+    def _mods(ref_key: str, our_prefix: str) -> None:
+        for i in range(modulation_blocks):
+            key = f"{ref_key}.{i}"
+            if f"{key}.conv0.weight" not in sd:  # single-block seq unwrap
+                key = ref_key
+            p[f"{our_prefix}_{i}"] = _res_gfm(sd, key)
+
+    if use_gfm:
+        p["classifier"] = _color_condition_gfm(sd, "classifier")
+        for k in (1, 2, 3):
+            _mods(f"encoder_modulation{k}", f"enc_mod{k}")
+        _mods("middle_modulation", "mid_mod")
+        if use_skips:
+            for k in (1, 2, 3):
+                _mods(f"decoder_modulation{k}", f"dec_mod{k}")
+
+    for k in (1, 2):
+        p[f"enc{k}_rcag"] = _rcagroup(sd, f"encoder{k}.0", n_blocks)
+        p[f"enc{k}_conv"] = _conv(sd, f"encoder{k}.1")
+    p["enc3_pre"] = _conv(sd, "encoder3.0")
+    p["enc3_rcag"] = _rcagroup(sd, "encoder3.1", n_blocks)
+    p["enc3_conv"] = _conv(sd, "encoder3.2")
+    for k in (1, 2, 3):
+        p[f"down{k}"] = _conv(sd, f"down{k}")
+
+    p["mid_conv0"] = _conv(sd, "middle.0")
+    p["mid_rcag"] = _rcagroup(sd, "middle.1", n_blocks * middle_nb_mult)
+    p["mid_conv1"] = _conv(sd, "middle.2")
+
+    for k in (1, 2, 3):
+        p[f"up{k}_proj"] = _conv(sd, f"up{k}.0")
+        p[f"dec{k}_rcag"] = _rcagroup(sd, f"decoder{k}.0", n_blocks)
+        p[f"dec{k}_conv"] = _conv(sd, f"decoder{k}.1")
+
+    p["tail_conv0"] = _conv(sd, "tail.0")
+    p["tail_conv1"] = _conv(sd, "tail.2")
+    return {"params": p}
+
+
 def _residual_block(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
     """CompressAI `ResidualBlock` -> ops.codec_layers.ResidualBlock."""
     out = {"conv1": _conv(sd, f"{key}.conv1"), "conv2": _conv(sd, f"{key}.conv2")}

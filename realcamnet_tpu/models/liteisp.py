@@ -60,11 +60,13 @@ class LiteISPNet(nn.Module):
     # LiteISPNet_GFM_LSC (`LiteISP.py:1938-1968`).
     gfm_nf: Optional[Tuple[int, int, int, int]] = None
     modulation_blocks: int = 1
+    fused_rcab: bool = False  # Pallas fused RCAB chains (ops/pallas_rcab.py)
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, raw, cond=None, coord=None, train: bool = False):
         pd = self.param_dtype
+        fr = self.fused_rcab
         ch_1, ch_2, ch_3, nb = self.ch_1, self.ch_2, self.ch_3, self.n_blocks
         gfm_nf = self.gfm_nf or (ch_1, ch_1, ch_1, ch_2)
 
@@ -87,14 +89,14 @@ class LiteISPNet(nn.Module):
 
         def down(x, stage, mid, extra_head_conv):
             x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv0")(x)
-            x = RCAGroup(mid, nb=nb, param_dtype=pd, name=f"down{stage}_rcag")(x)
+            x = RCAGroup(mid, nb=nb, fused=fr, param_dtype=pd, name=f"down{stage}_rcag")(x)
             if extra_head_conv:
                 x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv1")(x)
             return dwt_forward(x)
 
         def up(x, stage, mid, out_c):
             x = dwt_inverse(x)
-            x = RCAGroup(mid, nb=nb, param_dtype=pd, name=f"up{stage}_rcag")(x)
+            x = RCAGroup(mid, nb=nb, fused=fr, param_dtype=pd, name=f"up{stage}_rcag")(x)
             return Conv2d(out_c, 3, 1, 1, param_dtype=pd, name=f"up{stage}_conv")(x)
 
         h = modulate(h, 1, ch_1, gfm_nf[0])
@@ -104,8 +106,8 @@ class LiteISPNet(nn.Module):
 
         m = modulate(d3, 4, ch_2 * 4, gfm_nf[3])
         m = Conv2d(ch_3, 3, 1, 1, param_dtype=pd, name="mid_conv0")(m)
-        m = RCAGroup(ch_3, nb=nb, param_dtype=pd, name="mid_rcag0")(m)
-        m = RCAGroup(ch_3, nb=nb, param_dtype=pd, name="mid_rcag1")(m)
+        m = RCAGroup(ch_3, nb=nb, fused=fr, param_dtype=pd, name="mid_rcag0")(m)
+        m = RCAGroup(ch_3, nb=nb, fused=fr, param_dtype=pd, name="mid_rcag1")(m)
         m = Conv2d(ch_2 * 4, 3, 1, 1, param_dtype=pd, name="mid_conv1")(m)
         m = m + d3
 
@@ -503,9 +505,10 @@ def lite_isp_net_gfm() -> LiteISPNet:
     return LiteISPNet(ch_1=64, cond_c=64, use_gfm=True, use_lsc=False)
 
 
-def lite_isp_net_gfm_lsc() -> LiteISPNet:
+def lite_isp_net_gfm_lsc(fused_rcab: bool = False) -> LiteISPNet:
     """Flagship `LiteISPNet_GFM_LSC` (ch_1=48, cond_c=32), `LiteISP.py:1924-2035`."""
-    return LiteISPNet(ch_1=48, cond_c=32, use_gfm=True, use_lsc=True)
+    return LiteISPNet(ch_1=48, cond_c=32, use_gfm=True, use_lsc=True,
+                      fused_rcab=fused_rcab)
 
 
 def lite_isp_net_gfm_resize() -> LiteISPNet:
@@ -539,7 +542,7 @@ def isp_unet_gfm_lsc(cond_c: int = 32, chan: int = 32, m_blocks: int = 2) -> ISP
 
 def isp_unet_gfm_lsc1() -> ISPUNet:
     """`ISPUNet_GFM_LSC1` (coord concatenated into input), `LiteISP.py:1382-1532`."""
-    return ISPUNet(chan=32, cond_c=32, modulation="gfm", modulation_blocks=1,
+    return ISPUNet(chan=32, cond_c=32, modulation="gfm", modulation_blocks=2,
                    lsc_mode="concat")
 
 

@@ -343,7 +343,11 @@ class RCABlock(nn.Module):
 class RCAGroup(nn.Module):
     """nb x RCABlock + trailing conv, outer residual — the ISP workhorse.
 
-    Reference `networks.py:317-335`.
+    Reference `networks.py:317-335`. With `fused=True` (and the default
+    'CRC' mode / 3x3 kernels) the forward runs the Pallas fused RCAB chain
+    (ops/pallas_rcab.py) instead of per-op XLA — same numerics to fp
+    tolerance, ~half the HBM traffic per block. Init and gradient paths are
+    unchanged (custom_vjp recomputes through the XLA reference).
     """
 
     channels: int = 64
@@ -351,10 +355,18 @@ class RCAGroup(nn.Module):
     mode: str = "CRC"
     reduction: int = 16
     nb: int = 12
+    fused: bool = False
+    fused_tile_h: int = 8
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if (self.fused and not self.is_initializing()
+                and self.mode == "CRC" and self.kernel_size == 3):
+            from realcamnet_tpu.ops.pallas_rcab import fused_rcag_apply
+
+            return fused_rcag_apply(self.variables["params"], x, self.nb,
+                                    tile_h=self.fused_tile_h)
         res = x
         for i in range(self.nb):
             res = RCABlock(self.channels, self.kernel_size, self.mode,

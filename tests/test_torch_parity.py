@@ -165,3 +165,62 @@ def test_liteisp_lsc_variant_parity():
     ours = lite_isp_net_lsc().apply(jax.tree.map(jnp.asarray, params),
                                     jnp.asarray(raw), None, jnp.asarray(coord))
     np.testing.assert_allclose(np.asarray(ours), ref_y, atol=2e-4)
+
+
+def test_ispunet_gfm_lsc_full_parity():
+    """End-to-end: reference ISPUNet_GFM_LSC (`LiteISP.py:1228-1379`) ==
+    our ISPUNet with converted weights (stride-conv UNet + GFM + LSC +
+    decoder modulations + PixelShuffle ups)."""
+    torch = _torch()
+    li = ref_oracle.load("LiteISP")
+    from realcamnet_tpu.interop.torch_import import convert_ispunet_state_dict
+    from realcamnet_tpu.models.liteisp import isp_unet_gfm_lsc
+
+    ref = li.ISPUNet_GFM_LSC(cond_c=16, chan=16, m_blocks=2).eval()
+    params = convert_ispunet_state_dict(ref.state_dict(), modulation_blocks=2)
+
+    raw, cond, coord = rand(1, 32, 32, 4), rand(1, 64, 64, 4), rand(1, 32, 32, 2)
+    with torch.no_grad():
+        ref_y = to_nhwc(ref([nchw(raw), nchw(cond), nchw(coord)]))
+    ours = isp_unet_gfm_lsc(cond_c=16, chan=16, m_blocks=2).apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(raw),
+        jnp.asarray(cond), jnp.asarray(coord))
+    assert ours.shape == ref_y.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(ours), ref_y, atol=2e-4)
+
+
+def test_resunet_parity():
+    """Plain `ResUNet` baseline (`LiteISP.py:2038-2146`), no conditioning."""
+    torch = _torch()
+    li = ref_oracle.load("LiteISP")
+    from realcamnet_tpu.interop.torch_import import convert_ispunet_state_dict
+    from realcamnet_tpu.models.liteisp import res_unet
+
+    ref = li.ResUNet().eval()
+    params = convert_ispunet_state_dict(ref.state_dict(), use_gfm=False,
+                                        use_lsc=False)
+    raw = rand(1, 16, 16, 4)
+    with torch.no_grad():
+        ref_y = to_nhwc(ref([nchw(raw)]))
+    ours = res_unet().apply(jax.tree.map(jnp.asarray, params), jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(ours), ref_y, atol=2e-4)
+
+
+def test_ispunet_gfm_lsc1_concat_parity():
+    """`ISPUNet_GFM_LSC1` (`LiteISP.py:1382-1532`): coord map concatenated
+    into the input instead of the LSC gain."""
+    torch = _torch()
+    li = ref_oracle.load("LiteISP")
+    from realcamnet_tpu.interop.torch_import import convert_ispunet_state_dict
+    from realcamnet_tpu.models.liteisp import isp_unet_gfm_lsc1
+
+    ref = li.ISPUNet_GFM_LSC1().eval()
+    params = convert_ispunet_state_dict(ref.state_dict(), use_lsc=False,
+                                        modulation_blocks=2)
+    raw, cond, coord = rand(1, 16, 16, 4), rand(1, 32, 32, 4), rand(1, 16, 16, 2)
+    with torch.no_grad():
+        ref_y = to_nhwc(ref([nchw(raw), nchw(cond), nchw(coord)]))
+    ours = isp_unet_gfm_lsc1().apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(raw),
+        jnp.asarray(cond), jnp.asarray(coord))
+    np.testing.assert_allclose(np.asarray(ours), ref_y, atol=2e-4)
