@@ -53,33 +53,48 @@ def _conv3x3_valid(x, w, out_rows, out_cols):
 
 
 def _tile_dma(src_hbm, dst, sem, b, i, j, th, tw, h, w):
-    """Copy the (th+4, tw+4) halo window around tile (i, j) of src[b] into
-    dst, zero-filling out-of-image rows/cols.
+    """Copy the halo window around tile (i, j) of src[b] into dst
+    ((th+4, tw+16, c)), zero-filling out-of-image rows/cols.
 
-    Border handling: the four 2-wide dst border bands are zeroed first, then
-    one of 9 statically-shaped DMAs (interior/edge x interior/edge) writes
-    the in-image sub-rectangle. All sizes static; starts dynamic.
+    Mosaic requires DMA slice offsets/sizes along the sublane (W) dim to be
+    8-aligned, so the W halo band is 8 wide (compute uses only 2 of it):
+    global col g lands at dst col g - (col0 - 8), i.e. the tile body spans
+    dst cols [8, tw+8) and the compute window [col0-2, col0+tw+2) sits at
+    the static dst cols [6, tw+10). H is an untiled major dim — row slices
+    can be exact (2-halo, any offset/size).
+
+    Border handling: the dst border bands are zeroed first, then one of 9
+    statically-shaped DMAs (interior/edge x interior/edge) writes the
+    in-image sub-rectangle. All sizes static; starts dynamic.
     """
     nh, nw = h // th, w // tw
     row0, col0 = i * th, j * tw
 
     dst[0:2, :, :] = jnp.zeros_like(dst[0:2, :, :])
     dst[th + 2:th + 4, :, :] = jnp.zeros_like(dst[th + 2:th + 4, :, :])
-    dst[:, 0:2, :] = jnp.zeros_like(dst[:, 0:2, :])
-    dst[:, tw + 2:tw + 4, :] = jnp.zeros_like(dst[:, tw + 2:tw + 4, :])
+    dst[:, 0:8, :] = jnp.zeros_like(dst[:, 0:8, :])
+    dst[:, tw + 8:tw + 16, :] = jnp.zeros_like(dst[:, tw + 8:tw + 16, :])
 
     # (cond, src_start, copy_size, dst_start) per dim; traced conds, static
     # sizes. Top/left edge drops the leading halo, bottom/right the trailing.
-    rows = [
-        (i == 0, 0, th + 2, 2),
-        (jnp.logical_and(i > 0, i < nh - 1), row0 - 2, th + 4, 0),
-        (jnp.logical_and(i == nh - 1, i > 0), h - th - 2, th + 2, 0),
-    ]
-    cols = [
-        (j == 0, 0, tw + 2, 2),
-        (jnp.logical_and(j > 0, j < nw - 1), col0 - 2, tw + 4, 0),
-        (jnp.logical_and(j == nw - 1, j > 0), w - tw - 2, tw + 2, 0),
-    ]
+    # Interior cases are appended only when they can occur (their DMA slice
+    # sizes exceed the array extent otherwise — pl.when bodies still trace).
+    if nh == 1:
+        rows = [(i == 0, 0, th, 2)]
+    else:
+        rows = [(i == 0, 0, th + 2, 2),
+                (jnp.logical_and(i == nh - 1, i > 0), h - th - 2, th + 2, 0)]
+        if nh > 2:
+            rows.append(
+                (jnp.logical_and(i > 0, i < nh - 1), row0 - 2, th + 4, 0))
+    if nw == 1:
+        cols = [(j == 0, 0, tw, 8)]
+    else:
+        cols = [(j == 0, 0, tw + 8, 8),
+                (jnp.logical_and(j == nw - 1, j > 0), w - tw - 8, tw + 8, 0)]
+        if nw > 2:
+            cols.append(
+                (jnp.logical_and(j > 0, j < nw - 1), col0 - 8, tw + 16, 0))
     for rcond, rs, rn, rd in rows:
         for ccond, cs, cn, cd in cols:
             @pl.when(jnp.logical_and(rcond, ccond))
@@ -101,9 +116,10 @@ def _rcab_kernel(x_hbm, res_hbm, gate_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     _tile_dma(x_hbm, xs, sem1, b, i, j, th, tw, h, w)
     if fold:
         _tile_dma(res_hbm, rs, sem2, b, i, j, th, tw, h, w)
-        xin = xs[:] + rs[:] * gate_ref[0].astype(xs.dtype)[None, None, :]
+        xin = (xs[:, 6:tw + 10, :]
+               + rs[:, 6:tw + 10, :] * gate_ref[0].astype(xs.dtype)[None, None, :])
     else:
-        xin = xs[:]
+        xin = xs[:, 6:tw + 10, :]
 
     h1 = _conv3x3_valid(xin, w1_ref[:], th + 2, tw + 2)
     h1 = jnp.maximum(h1 + b1_ref[0].astype(jnp.float32)[None, None, :], 0.0)
@@ -185,8 +201,10 @@ def _fwd_impl(x, res_prev, gate, w1, b1, w2, b2, tile_h, tile_w, interpret):
         kernel,
         grid=(bsz, nh, nw),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x: tiles DMA'd manually
-            pl.BlockSpec(memory_space=pl.ANY),  # res_prev
+            # x / res_prev stay in HBM (tiles DMA'd manually): VMEM-resident
+            # sources reject sub-tile DMA slices (C=48 < 128-lane tiling).
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, c), lambda b, i, j: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, c, c), lambda b, i, j: (0, 0, 0, 0),
@@ -212,8 +230,8 @@ def _fwd_impl(x, res_prev, gate, w1, b1, w2, b2, tile_h, tile_w, interpret):
             jax.ShapeDtypeStruct((bsz, 8, c), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th + 4, tw + 4, c), wdt),
-            pltpu.VMEM((th + 4, tw + 4, c), wdt),
+            pltpu.VMEM((th + 4, tw + 16, c), wdt),
+            pltpu.VMEM((th + 4, tw + 16, c), wdt),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
