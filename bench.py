@@ -35,7 +35,11 @@ def main():
     h, w = bh // 2, bw // 2
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     b = 1
-    model = lite_isp_net_gfm_lsc()
+    # Fused BHCW Pallas RCAB chains (ops/pallas_conv.py): avoids XLA's
+    # 48->128 lane padding on the full-resolution trunk. BENCH_FUSED=0
+    # benches the plain XLA path.
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    model = lite_isp_net_gfm_lsc(fused_rcab=fused)
     raw = jnp.ones((b, h16, w16, 4), jnp.bfloat16)
     cond = jnp.ones((b, h16, w16, 4), jnp.bfloat16)
     coord = jnp.ones((b, h16, w16, 2), jnp.bfloat16)

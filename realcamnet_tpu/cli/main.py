@@ -53,12 +53,23 @@ def cmd_train(args):
         restore_checkpoint,
         save_checkpoint,
     )
+    from realcamnet_tpu.parallel.mesh import create_mesh, shard_batch
     from realcamnet_tpu.train.isp import TrainState, make_isp_train_step
     from realcamnet_tpu.train.rd import make_rd_optimizer, make_rd_train_step
     from realcamnet_tpu.train.schedules import make_schedule
 
     model, kind = _build_model(args.model)
     patch = args.patch
+
+    mesh = None
+    if args.mesh_data:
+        mesh = create_mesh(data=args.mesh_data, spatial=args.mesh_spatial)
+        print(f"[train] mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+              f" over {mesh.devices.size} devices")
+        if args.batch_size % args.mesh_data:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by "
+                f"--mesh-data {args.mesh_data}")
 
     def batches():
         if args.data == "synthetic":
@@ -80,12 +91,12 @@ def cmd_train(args):
                           lr_decay_iters=max(args.steps // 4, 1))
     if kind == "raw2bit":
         tx = make_rd_optimizer(args.lr, schedule=sched)
-        step_fn = make_rd_train_step(model, args.lmbda)
+        step_fn = make_rd_train_step(model, args.lmbda, mesh=mesh)
     else:
         import optax
 
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
-        step_fn = make_isp_train_step(model)
+        step_fn = make_isp_train_step(model, mesh=mesh)
     state = TrainState.create(params, tx)
 
     if args.ckpt_dir:
@@ -99,6 +110,8 @@ def cmd_train(args):
     for i, batch in enumerate(batches()):
         rng, sub = jax.random.split(rng)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, sub)
         if (i + 1) % args.log_every == 0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -145,7 +158,22 @@ def cmd_eval_rd(args):
     if args.ckpt:
         params = restore_params(args.ckpt, params)
 
-    result = eval_dataset(model, params, batches())
+    lpips_params = None
+    if args.lpips_ckpt:
+        from realcamnet_tpu.evaluation.lpips import (
+            init_lpips_params,
+            load_torch_lpips,
+        )
+
+        if args.lpips_ckpt == "random":  # untrained net: wiring checks only
+            lpips_params = init_lpips_params(jax.random.key(7),
+                                             net=args.lpips_net)
+        else:
+            lpips_params = load_torch_lpips(args.lpips_ckpt,
+                                            net=args.lpips_net)
+
+    result = eval_dataset(model, params, batches(),
+                          lpips_params=lpips_params, lpips_net=args.lpips_net)
     if args.real_bitstream:
         result.update(eval_real_bitstream(model, params, example))
     print(json.dumps({"model": args.model, "ckpt": args.ckpt, **result}))
@@ -226,6 +254,30 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_profile(args):
+    """FLOPs / params / bytes for any registered model (the reference's thop
+    harnesses, `LiteISP.py:2659-2682`, `groupmix.py:439-457`)."""
+    import jax.numpy as jnp
+
+    from realcamnet_tpu.utils.profiling import profile_model
+
+    isp, r2b = _models()
+    s = args.size
+    if args.model == "groupmixformer":
+        from realcamnet_tpu.models.groupmix import groupmixformer_tiny
+
+        model = groupmixformer_tiny()
+        inputs = (jnp.ones((1, s, s, 3), jnp.float32),)
+    elif args.model in r2b or args.model in isp:
+        model, _ = _build_model(args.model)
+        inputs = (jnp.ones((1, s, s, 4), jnp.float32),
+                  jnp.ones((1, s, s, 4), jnp.float32),
+                  jnp.ones((1, s, s, 2), jnp.float32))
+    else:
+        raise SystemExit(f"unknown model {args.model!r}; run `rcn models`")
+    print(json.dumps({"model": args.model, **profile_model(model, *inputs)}))
+
+
 def cmd_sweep(args):
     """Train + eval one model per lambda point — the full RD-curve recipe
     (reference operating points, BASELINE.md)."""
@@ -246,6 +298,9 @@ def cmd_sweep(args):
             "--ckpt-every", str(cfg.train.ckpt_every),
             "--log-every", str(cfg.train.log_every),
         ]
+        if cfg.mesh.data:
+            train_args += ["--mesh-data", str(cfg.mesh.data),
+                           "--mesh-spatial", str(cfg.mesh.spatial)]
         main(train_args)
         from realcamnet_tpu.train.checkpoint import latest_checkpoint
 
@@ -277,6 +332,9 @@ def main(argv=None):
     t.add_argument("--ckpt-dir", default="")
     t.add_argument("--ckpt-every", type=int, default=1000)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    t.add_argument("--mesh-spatial", type=int, default=1)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval-rd")
@@ -286,6 +344,10 @@ def main(argv=None):
     e.add_argument("--patch", type=int, default=128)
     e.add_argument("--num-images", type=int, default=4)
     e.add_argument("--real-bitstream", action="store_true")
+    e.add_argument("--lpips-ckpt", default="",
+                   help="torch LPIPS weights (.pth), or 'random' for a "
+                        "randomly-initialized net (wiring check only)")
+    e.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])
     e.set_defaults(fn=cmd_eval_rd)
 
     c = sub.add_parser("compress")
@@ -304,6 +366,17 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("sweep")
+    s.add_argument("--config", default="",
+                   help="ExperimentConfig JSON; defaults cover the 4-lambda "
+                        "RD curve")
+    s.set_defaults(fn=cmd_sweep)
+
+    pr = sub.add_parser("profile")
+    pr.add_argument("--model", default="lite_isp_net_gfm_lsc")
+    pr.add_argument("--size", type=int, default=256)
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -22,18 +22,24 @@ from realcamnet_tpu.evaluation.metrics import (
 )
 
 
-def _make_eval_fn(model):
+def _make_eval_fn(model, lpips_params=None, lpips_net: str = "alex"):
+    from realcamnet_tpu.evaluation.lpips import lpips as lpips_fn
+
     @jax.jit
     def run(p, raw, cond, coord, target):
         out = model.apply(p, raw, cond, coord)
         x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
         num_px = target.shape[0] * target.shape[1] * target.shape[2]
-        return {
+        m = {
             "psnr": psnr(x_hat, target),
             "ms_ssim_db": ms_ssim_db(x_hat, target),
             "delta_e": delta_e_ciede2000(x_hat, target),
             "bpp": bpp_from_likelihoods(out["likelihoods"], num_px),
         }
+        if lpips_params is not None:
+            m["lpips"] = jnp.mean(lpips_fn(x_hat, target, lpips_params,
+                                           net=lpips_net))
+        return m
 
     return run
 
@@ -45,9 +51,12 @@ def eval_forward_metrics(model, params, batch: Dict, _fn=None) -> Dict[str, floa
     return {k: float(v) for k, v in jax.device_get(m).items()}
 
 
-def eval_dataset(model, params, batches: Iterable[Dict]) -> Dict[str, float]:
-    """Mean metrics over an iterable of batches."""
-    run = _make_eval_fn(model)  # one jit shared by every batch
+def eval_dataset(model, params, batches: Iterable[Dict],
+                 lpips_params=None, lpips_net: str = "alex") -> Dict[str, float]:
+    """Mean metrics over an iterable of batches. Pass `lpips_params` (from
+    evaluation.lpips init_lpips_params / load_torch_lpips) to add the RD
+    curve's LPIPS axis (reference rdcurve.png bottom-left panel).""" 
+    run = _make_eval_fn(model, lpips_params, lpips_net)  # one jit, all batches
     acc: Dict[str, float] = {}
     n = 0
     for batch in batches:

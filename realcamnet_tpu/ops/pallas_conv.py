@@ -1,0 +1,459 @@
+"""Pallas TPU conv3x3 in a channel-sublane ("BHCW") layout.
+
+Why: XLA stores NHWC activations with C in the lane dimension, padded to 128
+lanes. The LiteISP trunk (reference `networks.py:296-335`, `LiteISP.py:1710-
+2035`) runs 48-channel convs at 4K resolution, so every HBM byte is moved
+2.67x and every MXU pass is 62% idle — measured on-chip as 143 ms of the
+320 ms frame in the two full-resolution RCAGroups alone.
+
+This kernel uses the layout (B, H, C, W) flattened to (B, H*C, W):
+
+  * W is the lane dim (1920 = 15*128 at 4K: zero padding),
+  * H*C is the sublane dim; C a multiple of 8 makes the (B,H,C,W) <->
+    (B,H*C,W) reshape layout-free and every row-block DMA offset (multiples
+    of C) 8-aligned — the one slicing pattern real-hardware Mosaic accepts
+    for sub-128-channel data (see tools/chip_probe_chw.py),
+  * the 3x3 conv is, per `rg` output rows, three MXU contractions
+    (rg*Cout, (rg+2)*Cin) @ ((rg+2)*Cin, W) — one per horizontal tap —
+    with the +-1 taps lane-rolled into place on the f32 accumulator.
+
+Fusions (all optional, chosen per call):
+  prologue   xin = x + res_prev * gate      (previous RCAB's CA-gated res)
+  epilogue   relu / + bias / + `add` input  (outer residuals)
+  outputs    xin (for the next fold), per-channel sums (for the CA gate)
+
+`fused_rcag_bhcw` chains these into a full RCAGroup with only the tiny
+(B, C) CA gate math left to XLA between kernel calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_dma_start(src_hbm, dst, sem, b, i, *, cin, th, nh, h, halo):
+    """Start a DMA of rows [i*th - halo, i*th + th + halo) of the merged
+    (B, H*C, W) src into dst ((th + 2*halo)*C, W), clamped to the image;
+    out-of-image bands are NOT written (the consumer zeroes them).
+
+    All offsets are multiples of C (8-aligned for C % 8 == 0); sizes static.
+    Exactly one case fires; the caller waits on `sem` once.
+    """
+    row0 = i * th
+    span = th + 2 * halo
+    cases = []
+    if nh == 1:
+        cases.append((i == 0, 0, th, halo))
+    else:
+        cases.append((i == 0, 0, th + halo, halo))
+        cases.append((jnp.logical_and(i == nh - 1, i > 0),
+                      h - th - halo, th + halo, 0))
+        if nh > 2:
+            cases.append((jnp.logical_and(i > 0, i < nh - 1),
+                          row0 - halo, span, 0))
+    for cond, src_row, n_rows, dst_row in cases:
+        @pl.when(cond)
+        def _(src_row=src_row, n_rows=n_rows, dst_row=dst_row):
+            pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(src_row * cin, n_rows * cin), :],
+                dst.at[pl.ds(dst_row * cin, n_rows * cin), :], sem).start()
+
+
+def _row_dma_wait(src_hbm, dst, sem, b, i, *, cin, th, nh, h, halo):
+    """Wait for the copy started by `_row_dma_start` (descriptor sizes must
+    match the started copy, so the case structure is mirrored)."""
+    row0 = i * th
+    span = th + 2 * halo
+    cases = []
+    if nh == 1:
+        cases.append((i == 0, 0, th, halo))
+    else:
+        cases.append((i == 0, 0, th + halo, halo))
+        cases.append((jnp.logical_and(i == nh - 1, i > 0),
+                      h - th - halo, th + halo, 0))
+        if nh > 2:
+            cases.append((jnp.logical_and(i > 0, i < nh - 1),
+                          row0 - halo, span, 0))
+    for cond, src_row, n_rows, dst_row in cases:
+        @pl.when(cond)
+        def _(src_row=src_row, n_rows=n_rows, dst_row=dst_row):
+            pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(src_row * cin, n_rows * cin), :],
+                dst.at[pl.ds(dst_row * cin, n_rows * cin), :], sem).wait()
+
+
+def _shift_cols(v, direction, w):
+    """Shift lanes by +-1 with zero fill (conv zero padding at W edges)."""
+    rolled = pltpu.roll(v, direction % w, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    edge = 0 if direction == 1 else w - 1
+    return jnp.where(col == edge, jnp.zeros_like(rolled), rolled)
+
+
+def _conv_kernel(x_hbm, res_hbm, add_hbm, w_ref, b_ref, gate_ref, *refs,
+                 cin, cout, th, h, w, rg, halo, fold, relu, add,
+                 emit_xin, emit_sums, out_dtype, w_valid):
+    it = iter(refs)
+    out_ref = next(it)
+    xin_ref = next(it) if emit_xin else None
+    sums_ref = next(it) if emit_sums else None
+    xs, rs, ads, sem, sem2, sem3 = it
+
+    nh = h // th
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    slot = jax.lax.rem(i, 2)
+    dk = dict(cin=cin, th=th, nh=nh, h=h, halo=halo)
+
+    def start_all(idx, s):
+        _row_dma_start(x_hbm, xs.at[s], sem.at[s], b, idx, **dk)
+        if fold:
+            _row_dma_start(res_hbm, rs.at[s], sem2.at[s], b, idx, **dk)
+        if add:
+            pltpu.make_async_copy(
+                add_hbm.at[b, pl.ds(idx * th * cout, th * cout), :],
+                ads.at[s], sem3.at[s]).start()
+
+    # Double-buffered prefetch: tile i's DMA was started during step i-1;
+    # start tile i+1's before computing on tile i.
+    @pl.when(i == 0)
+    def _():
+        start_all(i, 0)
+
+    _row_dma_wait(x_hbm, xs.at[slot], sem.at[slot], b, i, **dk)
+    if fold:
+        _row_dma_wait(res_hbm, rs.at[slot], sem2.at[slot], b, i, **dk)
+    if add:
+        pltpu.make_async_copy(
+            add_hbm.at[b, pl.ds(i * th * cout, th * cout), :],
+            ads.at[slot], sem3.at[slot]).wait()
+
+    @pl.when(i + 1 < nh)
+    def _():
+        start_all(i + 1, 1 - slot)
+
+    # Zero the out-of-image halo bands (stale data from two tiles ago).
+    # i == 0 always uses slot 0; the last tile's slot is static too.
+    hc = halo * cin
+    sl = (nh - 1) % 2
+
+    @pl.when(i == 0)
+    def _():
+        xs[0, 0:hc, :] = jnp.zeros_like(xs[0, 0:hc, :])
+        if fold:
+            rs[0, 0:hc, :] = jnp.zeros_like(rs[0, 0:hc, :])
+
+    @pl.when(i == nh - 1)
+    def _():
+        xs[sl, hc + th * cin:, :] = jnp.zeros_like(xs[sl, hc + th * cin:, :])
+        if fold:
+            rs[sl, hc + th * cin:, :] = jnp.zeros_like(
+                rs[sl, hc + th * cin:, :])
+
+    sums_acc = None
+    for g in range(th // rg):
+        # Output rows [g*rg, g*rg+rg); input rows offset by halo-1.
+        lo = (g * rg + halo - 1) * cin
+        win = xs[slot, lo:lo + (rg + 2) * cin, :]
+        if fold:
+            win = win + (rs[slot, lo:lo + (rg + 2) * cin, :]
+                         * gate_ref[0, lo:lo + (rg + 2) * cin, :]
+                         .astype(win.dtype))
+        acc = None
+        for dj in range(3):
+            d = jax.lax.dot_general(
+                w_ref[dj], win, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if dj != 1:
+                d = _shift_cols(d, 1 - dj, w)
+            acc = d if acc is None else acc + d
+        acc = acc + b_ref[:].astype(jnp.float32)
+        if add:
+            acc = acc + ads[slot, g * rg * cout:(g + 1) * rg * cout,
+                            :].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        if w_valid is not None and w_valid < w:
+            # W was padded to a 128 multiple: zero the pad lanes so the
+            # channel sums and downstream folds stay exact.
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+            acc = jnp.where(col < w_valid, acc, 0.0)
+        if emit_sums:
+            s = jnp.sum(acc, axis=1, keepdims=True)
+            sums_acc = s if sums_acc is None else sums_acc + s
+        out_ref[0, g * rg * cout:(g + 1) * rg * cout, :] = acc.astype(
+            out_dtype)
+        if emit_xin:
+            xin_ref[0, g * rg * cin:(g + 1) * rg * cin, :] = (
+                win[cin:(1 + rg) * cin, :].astype(out_dtype))
+
+    if emit_sums:
+        # Fold the rg row-blocks of (rg*cout, 1) into (cout, 1) and
+        # accumulate into the revisited (cout, 128) block across i-tiles.
+        s = sums_acc
+        folded = s[0:cout, :]
+        for r in range(1, rg):
+            folded = folded + s[r * cout:(r + 1) * cout, :]
+
+        @pl.when(i == 0)
+        def _():
+            sums_ref[0] = jnp.zeros_like(sums_ref[0])
+
+        sums_ref[0, :, 0:1] = sums_ref[0, :, 0:1] + folded
+
+
+def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
+                 add=None, emit_xin=False, emit_sums=False,
+                 rg: int = 2, tile_h: int = 16, interpret: bool = False,
+                 w_valid=None):
+    """3x3 stride-1 same-padding conv on (B, H, C, W) activations.
+
+    x: (B, H, Cin, W); w: (3, 3, Cin, Cout) HWIO; bias: (Cout,).
+    res_prev (B, H, Cin, W) + gate (B, Cin): prologue
+    xin = x + res_prev*gate, convolved instead of x.
+    add (B, H, Cout, W): added to the conv output (pre-relu).
+    Returns out (B, H, Cout, W) [, xin] [, sums (B, Cout) f32].
+
+    Requires Cin % 8 == 0 and Cout % 8 == 0 (pad channels outside) and
+    H % tile_h == 0 with tile_h % rg == 0.
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    bsz, h, cin, wd = x.shape
+    cout = w.shape[3]
+    halo = 1
+    fold = res_prev is not None
+    do_add = add is not None
+
+    def fallback():
+        return _bhcw_ref_conv(x, w, bias, res_prev=res_prev, gate=gate,
+                              relu=relu, add=add, emit_xin=emit_xin,
+                              emit_sums=emit_sums)
+
+    if cin % 8 or cout % 8:
+        return fallback()
+
+    if wd % 128:
+        # Mosaic rejects HBM slices whose lane extent is not a 128 multiple:
+        # pad W, mask the pad lanes in-kernel, crop on the way out. Chained
+        # callers (fused_rcag_bhcw) pad once instead and pass w_valid.
+        wp = -(-wd // 128) * 128
+
+        def pad(a):
+            return None if a is None else jnp.pad(
+                a, ((0, 0), (0, 0), (0, 0), (0, wp - wd)))
+
+        outs = conv3x3_bhcw(
+            pad(x), w, bias, res_prev=pad(res_prev), gate=gate, relu=relu,
+            add=pad(add), emit_xin=emit_xin, emit_sums=emit_sums, rg=rg,
+            tile_h=tile_h, interpret=interpret, w_valid=wd)
+        if not isinstance(outs, tuple):
+            return outs[..., :wd]
+        return tuple(o[..., :wd] if o.ndim == 4 else o for o in outs)
+
+    # Largest tile height (divisor of H, multiple of rg) whose scratch +
+    # pipelined output blocks fit the VMEM budget.
+    ds = jnp.dtype(x.dtype).itemsize
+
+    def vmem_est(t):
+        e = 2 * (t + 2 * halo) * cin * wd * ds * (2 if fold else 1)
+        e += 2 * t * cout * wd * ds  # out block, double-buffered
+        if emit_xin:
+            e += 2 * t * cin * wd * ds
+        if do_add:
+            e += 2 * t * cout * wd * ds
+        return e
+
+    th = 0
+    for t in range(min(tile_h, h), rg - 1, -rg):
+        if h % t == 0 and t % rg == 0 and vmem_est(t) < 14 * 2 ** 20:
+            th = t
+            break
+    if not th:  # odd H etc.: tiny maps, XLA handles them fine
+        return fallback()
+    nh = h // th
+    wdt = x.dtype
+
+    # Tap matrices: w3[dj] (rg*Cout, (rg+2)*Cin), block (r, r+ro) = w[ro,dj]^T.
+    wt = jnp.transpose(w, (0, 1, 3, 2)).astype(wdt)  # (3,3,Cout,Cin)
+    w3 = jnp.zeros((3, rg * cout, (rg + 2) * cin), wdt)
+    for r in range(rg):
+        for ro in range(3):
+            w3 = w3.at[:, r * cout:(r + 1) * cout,
+                       (r + ro) * cin:(r + ro + 1) * cin].set(wt[ro])
+    b2 = jnp.tile(bias.reshape(1, cout), (rg, 1)).reshape(rg * cout, 1)
+
+    if fold:
+        gate_rep = jnp.tile(gate[:, None, :], (1, th + 2 * halo, 1)).reshape(
+            bsz, (th + 2 * halo) * cin, 1)
+        res_m = res_prev.reshape(bsz, h * cin, wd)
+    else:
+        gate_rep = jnp.zeros((bsz, 1, 1), jnp.float32)
+        res_m = jnp.zeros((bsz, 1, 1), wdt)
+    add_m = (add.reshape(bsz, h * cout, wd) if do_add
+             else jnp.zeros((bsz, 1, 1), wdt))
+
+    kernel = functools.partial(
+        _conv_kernel, cin=cin, cout=cout, th=th, h=h, w=wd, rg=rg, halo=halo,
+        fold=fold, relu=relu, add=do_add, emit_xin=emit_xin,
+        emit_sums=emit_sums, out_dtype=wdt, w_valid=w_valid)
+
+    span = (th + 2 * halo) * cin
+    out_specs = [pl.BlockSpec((1, th * cout, wd), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h * cout, wd), wdt)]
+    if emit_xin:
+        out_specs.append(pl.BlockSpec((1, th * cin, wd),
+                                      lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, h * cin, wd), wdt))
+    if emit_sums:
+        out_specs.append(pl.BlockSpec((1, cout, 128),
+                                      lambda b, i: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, cout, 128), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((3, rg * cout, (rg + 2) * cin),
+                         lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rg * cout, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span if fold else 1, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, span, wd), wdt),
+            pltpu.VMEM((2, span, wd) if fold else (2, 8, 128), wdt),
+            pltpu.VMEM((2, th * cout, wd) if do_add else (2, 8, 128), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x.reshape(bsz, h * cin, wd), res_m, add_m, w3,
+      b2.astype(jnp.float32), gate_rep.astype(jnp.float32))
+
+    outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    result = [outs.pop(0).reshape(bsz, h, cout, wd)]
+    if emit_xin:
+        result.append(outs.pop(0).reshape(bsz, h, cin, wd))
+    if emit_sums:
+        result.append(outs.pop(0)[:, :, 0])
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def _ca_gate(sums, hw, p_ca):
+    """CA gate from channel sums (ops/blocks.py CALayer params)."""
+    mean = (sums / hw).astype(jnp.float32)
+    kd = p_ca["down"]["conv"]["kernel"][0, 0].astype(jnp.float32)
+    bd = p_ca["down"]["conv"]["bias"].astype(jnp.float32)
+    ku = p_ca["up"]["conv"]["kernel"][0, 0].astype(jnp.float32)
+    bu = p_ca["up"]["conv"]["bias"].astype(jnp.float32)
+    y = jnp.maximum(mean @ kd + bd, 0.0)
+    return jax.nn.sigmoid(y @ ku + bu)
+
+
+def _bhcw_ref_conv(x, w, bias, *, res_prev=None, gate=None, relu=False,
+                   add=None, emit_xin=False, emit_sums=False):
+    """XLA reference in BHCW layout (used for init shapes / fallback / vjp)."""
+    xin = x
+    if res_prev is not None:
+        xin = x + res_prev * gate[:, None, :, None].astype(x.dtype)
+    nhwc = jnp.transpose(xin, (0, 1, 3, 2))
+    y = jax.lax.conv_general_dilated(
+        nhwc, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + bias.astype(jnp.float32)
+    if add is not None:
+        y = y + jnp.transpose(add, (0, 1, 3, 2)).astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out = jnp.transpose(y, (0, 1, 3, 2)).astype(x.dtype)
+    result = [out]
+    if emit_xin:
+        result.append(xin)
+    if emit_sums:
+        result.append(jnp.sum(y, axis=(1, 2)))
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def _rcag_chain(conv, p, x, nb, hw=None):
+    """RCAB chain (`networks.py:296-335`) expressed over a conv3x3 primitive
+    with fold/relu/add/emit fusions; `conv` is the Pallas kernel or the XLA
+    reference (for the backward pass). `hw` overrides the CA mean divisor
+    when x carries zero-masked W padding."""
+    hw = hw or x.shape[1] * x.shape[3]
+    base, res, gate = x, None, None
+    for i in range(nb):
+        blk = p[f"rcab{i}"]
+        if res is None:  # first block: xin == base, skip the emit
+            h1 = conv(base, blk["res"]["0_conv"]["conv"]["kernel"],
+                      blk["res"]["0_conv"]["conv"]["bias"], relu=True)
+            xin = base
+        else:
+            h1, xin = conv(
+                base, blk["res"]["0_conv"]["conv"]["kernel"],
+                blk["res"]["0_conv"]["conv"]["bias"],
+                res_prev=res, gate=gate, relu=True, emit_xin=True)
+        r, sums = conv(
+            h1, blk["res"]["2_conv"]["conv"]["kernel"],
+            blk["res"]["2_conv"]["conv"]["bias"], emit_sums=True)
+        base, res = xin, r
+        gate = _ca_gate(sums, hw, blk["ca"])
+    return conv(base, p["tail"]["conv"]["kernel"],
+                p["tail"]["conv"]["bias"],
+                res_prev=res, gate=gate, add=x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_rcag_bhcw(p, x, nb: int, tile_h: int = 16,
+                    interpret: bool = False):
+    """RCAGroup (param subtree from ops.blocks.RCAGroup) on a BHCW input.
+
+    x: (B, H, C, W). Chains nb RCABs (`networks.py:296-311`) as BHCW Pallas
+    convs: conv1 folds the previous block's CA-gated residual, conv2 emits
+    the channel sums that feed the next CA gate; the trailing conv folds the
+    last gate and adds the group residual. Matches `RCAGroup.__call__` to fp
+    tolerance. Backward differentiates the XLA reference (rematerialized),
+    so training with the fused path on is allowed.
+    """
+    wd = x.shape[3]
+    if wd % 128:
+        # Pad W once for the whole chain; kernels zero the pad lanes.
+        wp = -(-wd // 128) * 128
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - wd)))
+        conv = functools.partial(conv3x3_bhcw, tile_h=tile_h,
+                                 interpret=interpret, w_valid=wd)
+        out = _rcag_chain(conv, p, xp, nb, hw=x.shape[1] * wd)
+        return out[..., :wd]
+    conv = functools.partial(conv3x3_bhcw, tile_h=tile_h,
+                             interpret=interpret)
+    return _rcag_chain(conv, p, x, nb)
+
+
+def _rcag_vjp_fwd(p, x, nb, tile_h, interpret):
+    return fused_rcag_bhcw(p, x, nb, tile_h, interpret), (p, x)
+
+
+def _rcag_vjp_bwd(nb, tile_h, interpret, saved, g):
+    p, x = saved
+    _, vjp = jax.vjp(lambda p_, x_: _rcag_chain(_bhcw_ref_conv, p_, x_, nb),
+                     p, x)
+    return vjp(g)
+
+
+fused_rcag_bhcw.defvjp(_rcag_vjp_fwd, _rcag_vjp_bwd)

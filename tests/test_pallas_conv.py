@@ -1,0 +1,102 @@
+"""BHCW-layout Pallas conv3x3 / fused RCAGroup vs XLA (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realcamnet_tpu.ops.blocks import RCAGroup
+from realcamnet_tpu.ops.pallas_conv import (
+    _bhcw_ref_conv,
+    conv3x3_bhcw,
+    fused_rcag_bhcw,
+)
+
+
+def _rand(key, *shape):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("h,w,tile_h", [(16, 256, 8), (8, 128, 8),
+                                        (32, 96, 16)])
+def test_conv_matches_ref(h, w, tile_h):
+    cin, cout = 8, 16
+    x = _rand(0, 2, h, cin, w)
+    wk = _rand(1, 3, 3, cin, cout) * 0.2
+    b = _rand(2, cout) * 0.1
+    out = conv3x3_bhcw(x, wk, b, tile_h=tile_h, interpret=True)
+    ref = _bhcw_ref_conv(x, wk, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_conv_fusions_match_ref():
+    cin, cout, h, w = 8, 8, 16, 128
+    x = _rand(3, 1, h, cin, w)
+    wk = _rand(4, 3, 3, cin, cout) * 0.2
+    b = _rand(5, cout) * 0.1
+    res_prev = _rand(6, 1, h, cin, w)
+    gate = jax.nn.sigmoid(_rand(7, 1, cin))
+    add = _rand(8, 1, h, cout, w)
+    out, xin, sums = conv3x3_bhcw(
+        x, wk, b, res_prev=res_prev, gate=gate, add=add, relu=True,
+        emit_xin=True, emit_sums=True, tile_h=8, interpret=True)
+    ref, rxin, rsums = _bhcw_ref_conv(
+        x, wk, b, res_prev=res_prev, gate=gate, add=add, relu=True,
+        emit_xin=True, emit_sums=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xin), np.asarray(rxin), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(rsums),
+                               atol=2e-3)
+
+
+def test_conv_fallback_paths():
+    # Odd channels and odd H fall back to the XLA reference silently.
+    x = _rand(9, 1, 7, 12, 32)
+    wk = _rand(10, 3, 3, 12, 12) * 0.2
+    b = _rand(11, 12) * 0.1
+    out = conv3x3_bhcw(x, wk, b, interpret=True)
+    ref = _bhcw_ref_conv(x, wk, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_rcag_matches_flax_group():
+    c, nb = 8, 3
+    x = _rand(12, 1, 16, 16, c)
+    mod = RCAGroup(channels=c, nb=nb, reduction=4)
+    params = mod.init(jax.random.key(0), x)
+    want = mod.apply(params, x)
+    xb = jnp.transpose(x, (0, 1, 3, 2))
+    got = fused_rcag_bhcw(params["params"], xb, nb, 8, True)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got, (0, 1, 3, 2))),
+                               np.asarray(want), atol=1e-4)
+
+
+def test_rcagroup_bhcw_flag():
+    c, nb = 8, 2
+    x = _rand(13, 1, 16, 16, c)
+    ref_mod = RCAGroup(channels=c, nb=nb, reduction=4)
+    params = ref_mod.init(jax.random.key(1), x)
+    want = ref_mod.apply(params, x)
+    got = RCAGroup(channels=c, nb=nb, reduction=4, fused="bhcw").apply(
+        params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_rcag_grads_match_ref():
+    c, nb = 8, 2
+    x = _rand(14, 1, 8, 8, c)
+    mod = RCAGroup(channels=c, nb=nb, reduction=4)
+    params = mod.init(jax.random.key(2), x)
+
+    def loss_ref(p, x_):
+        return jnp.sum(mod.apply(p, x_) ** 2)
+
+    def loss_fused(p, x_):
+        xb = jnp.transpose(x_, (0, 1, 3, 2))
+        o = fused_rcag_bhcw(p["params"], xb, nb, 8, True)
+        return jnp.sum(o ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
