@@ -86,6 +86,14 @@ def cmd_train(args):
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     print(f"[train] {args.model} ({kind}): {n_params/1e6:.2f}M params")
 
+    if args.init != "default":
+        from realcamnet_tpu.ops.init import init_weights
+
+        params = dict(params, params=init_weights(
+            params["params"], jax.random.key(args.seed + 2), args.init,
+            args.init_gain))
+        print(f"[train] re-initialized with {args.init} (gain {args.init_gain})")
+
     sched = make_schedule(args.lr_policy, args.lr, niter=args.steps,
                           niter_decay=args.steps // 2,
                           lr_decay_iters=max(args.steps // 4, 1))
@@ -335,6 +343,11 @@ def main(argv=None):
     t.add_argument("--mesh-data", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
     t.add_argument("--mesh-spatial", type=int, default=1)
+    t.add_argument("--init", default="default",
+                   choices=["default", "normal", "xavier", "kaiming",
+                            "orthogonal", "uniform"],
+                   help="weight-init zoo (reference networks.py:73-97)")
+    t.add_argument("--init-gain", type=float, default=0.02)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval-rd")

@@ -117,6 +117,37 @@ class ConvTransBlockMzj(nn.Module):
         return x + res
 
 
+class ConvGMABlock(nn.Module):
+    """Conv + GMA hybrid block (`raw2bit.py:330-355`): 1x1 split; conv half
+    -> ResidualBlock + identity; trans half -> one GMA linear-attention
+    block over the full map; concat 1x1; outer residual.
+
+    trans_dim must divide by 5 (GroupMix segments) and head_dim (the
+    reference smoke-tests 64/80/10, `raw2bit.py:4362`)."""
+
+    conv_dim: int
+    trans_dim: int
+    head_dim: int
+    drop_path_rate: float = 0.0
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from realcamnet_tpu.ops.attention.gma import GMABlock
+
+        pd = self.param_dtype
+        total = self.conv_dim + self.trans_dim
+        h = Conv2d(total, 1, 1, 0, param_dtype=pd, name="conv1_1")(x)
+        conv_x, trans_x = jnp.split(h, [self.conv_dim], axis=-1)
+        conv_x = ResidualBlock(self.conv_dim, pd, name="conv_block")(conv_x) + conv_x
+        trans_x = GMABlock(self.trans_dim, self.trans_dim // self.head_dim,
+                           drop_path_rate=self.drop_path_rate, param_dtype=pd,
+                           name="trans_block")(trans_x, train=train)
+        res = Conv2d(total, 1, 1, 0, param_dtype=pd,
+                     name="conv1_2")(jnp.concatenate([conv_x, trans_x], axis=-1))
+        return x + res
+
+
 class RBU(nn.Module):
     """Residual block with sub-pixel upsample on both branches
     (`raw2bit.py:3181-3206`) — like ResidualBlockUpsample without the IGDN."""
@@ -200,6 +231,13 @@ class RawCompression(nn.Module):
                     out.append(ConvTransBlock(N, N, head_dim, 8, dpr[i],
                                               bool(i % 2), pd,
                                               name=f"{prefix}_{i}"))
+                elif self.encoder_block == "gma":
+                    # GMA trans half must divide by 5 segments; mirror the
+                    # reference smoke config (conv 64 / trans 80 / head 10,
+                    # `raw2bit.py:4362`) scaled to the 2N stem width.
+                    td = 80 if N2 > 80 else 5 * max(N2 // 10, 2)
+                    out.append(ConvGMABlock(N2 - td, td, 10, dpr[i], pd,
+                                            name=f"{prefix}_{i}"))
                 else:
                     out.append(ResidualBlock(N2, pd, name=f"{prefix}_{i}"))
             return out
@@ -312,7 +350,7 @@ class RawCompression(nn.Module):
             for b in blocks:
                 if isinstance(b, ConvTransBlockMzj):
                     fea = b(fea, lft[k], train=train)
-                elif isinstance(b, ConvTransBlock):
+                elif isinstance(b, (ConvTransBlock, ConvGMABlock)):
                     fea = b(fea, train=train)
                 else:
                     fea = b(fea)
@@ -469,7 +507,14 @@ def raw_compression_tcm_final_gma(**kw) -> RawCompression:
     return RawCompression(entropy_atten="gma", **kw)
 
 
+def raw_compression_tcm_gma_encoder(**kw) -> RawCompression:
+    """GMA-encoder variant: ConvGMABlock (`raw2bit.py:330-355`) in place of
+    the Swin ConvTransBlock (smoke-only in the reference, `raw2bit.py:4362`)."""
+    return RawCompression(use_lft=False, encoder_block="gma", **kw)
+
+
 RAW2BIT_MODELS = {
+    "raw_compression_tcm_gma_encoder": raw_compression_tcm_gma_encoder,
     "raw_compression_tcm_final_gma": raw_compression_tcm_final_gma,
     "raw_compression_tcm": raw_compression_tcm,
     "raw_compression_tcm_xiaorong1": raw_compression_tcm_xiaorong1,

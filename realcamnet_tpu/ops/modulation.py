@@ -91,19 +91,32 @@ class ResGFM(nn.Module):
 
 
 class SpatialFeatureTransform(nn.Module):
-    """3x3-conv SFT: x*scale+shift [+x]. Reference `LiteISP.py:562-599` /
-    `raw2bit.py:860-886` ('vanilla' branch; the 'cbam' branch is dead code)."""
+    """SFT: x*scale+shift [+x]. Reference `LiteISP.py:562-599` /
+    `raw2bit.py:860-886`. ada_method 'vanilla' = two 3x3-conv stacks;
+    'cbam' = 1x1 conv -> relu -> CBAM gate per branch (the reference's
+    'cbam' branch imports a module that was never shipped, `LiteISP.py:3`;
+    this is the working reconstruction via ops/cbam.py)."""
 
     n_features: int
     residual: bool = True
+    ada_method: str = "vanilla"  # 'vanilla' | 'cbam'
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fea, cond):
-        s = Conv2d(self.n_features, 3, 1, 1, param_dtype=self.param_dtype, name="scale0")(cond)
-        s = Conv2d(self.n_features, 3, 1, 1, param_dtype=self.param_dtype, name="scale1")(jax.nn.relu(s))
-        t = Conv2d(self.n_features, 3, 1, 1, param_dtype=self.param_dtype, name="shift0")(cond)
-        t = Conv2d(self.n_features, 3, 1, 1, param_dtype=self.param_dtype, name="shift1")(jax.nn.relu(t))
+        pd = self.param_dtype
+        if self.ada_method == "cbam":
+            from realcamnet_tpu.ops.cbam import CBAM
+
+            s = Conv2d(self.n_features, 1, 1, 0, param_dtype=pd, name="scale0")(cond)
+            s = CBAM(self.n_features, param_dtype=pd, name="scale_cbam")(jax.nn.relu(s))
+            t = Conv2d(self.n_features, 1, 1, 0, param_dtype=pd, name="shift0")(cond)
+            t = CBAM(self.n_features, param_dtype=pd, name="shift_cbam")(jax.nn.relu(t))
+        else:
+            s = Conv2d(self.n_features, 3, 1, 1, param_dtype=pd, name="scale0")(cond)
+            s = Conv2d(self.n_features, 3, 1, 1, param_dtype=pd, name="scale1")(jax.nn.relu(s))
+            t = Conv2d(self.n_features, 3, 1, 1, param_dtype=pd, name="shift0")(cond)
+            t = Conv2d(self.n_features, 3, 1, 1, param_dtype=pd, name="shift1")(jax.nn.relu(t))
         out = fea * s + t
         return out + fea if self.residual else out
 

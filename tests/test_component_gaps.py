@@ -1,0 +1,74 @@
+"""Round-2 component-gap closures: ConvGMABlock encoder, SFT 'cbam' branch,
+and the weight-init zoo (VERDICT.md missing/weak items)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from realcamnet_tpu.models.raw2bit import (
+    ConvGMABlock,
+    RAW2BIT_MODELS,
+)
+from realcamnet_tpu.ops.init import init_weights
+from realcamnet_tpu.ops.modulation import SpatialFeatureTransform
+
+
+def test_conv_gma_block_shapes():
+    """Reference smoke config ConvGMABlock(64, 80, 10) (`raw2bit.py:4362`)."""
+    blk = ConvGMABlock(64, 80, 10)
+    x = jnp.ones((1, 16, 16, 144))
+    params = blk.init(jax.random.key(0), x)
+    out = blk.apply(params, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gma_encoder_model_traces():
+    model = RAW2BIT_MODELS["raw_compression_tcm_gma_encoder"](
+        config=(1, 1, 1, 1, 1, 1), head_dim=(32,) * 6, n=64, m=80)
+    raw = jnp.ones((1, 64, 64, 4))
+    coord = jnp.ones((1, 64, 64, 2))
+    out = jax.eval_shape(
+        lambda: model.init_with_output(jax.random.key(0), raw, raw, coord)[0])
+    assert out["x_hat"].shape == (1, 128, 128, 3)
+
+
+def test_sft_cbam_branch():
+    sft = SpatialFeatureTransform(16, ada_method="cbam")
+    fea = jnp.ones((1, 8, 8, 16))
+    cond = jnp.ones((1, 8, 8, 8))
+    params = sft.init(jax.random.key(0), fea, cond)
+    names = set(params["params"].keys())
+    assert "scale_cbam" in names and "shift_cbam" in names
+    out = sft.apply(params, fea, cond)
+    assert out.shape == fea.shape
+
+
+def test_init_zoo():
+    from realcamnet_tpu.ops.blocks import RCAGroup
+
+    mod = RCAGroup(channels=8, nb=1, reduction=4)
+    x = jnp.ones((1, 8, 8, 8))
+    params = mod.init(jax.random.key(0), x)["params"]
+    for kind in ("normal", "xavier", "kaiming", "orthogonal", "uniform"):
+        new = init_weights(params, jax.random.key(1), kind, gain=0.02)
+        flat_old = traverse_util.flatten_dict(params)
+        flat_new = traverse_util.flatten_dict(new)
+        assert flat_old.keys() == flat_new.keys()
+        changed = 0
+        for k in flat_old:
+            assert flat_old[k].shape == flat_new[k].shape
+            if k[-1] == "kernel":
+                changed += not np.allclose(np.asarray(flat_old[k]),
+                                           np.asarray(flat_new[k]))
+            if k[-1] == "bias":
+                assert np.all(np.asarray(flat_new[k]) == 0)
+        assert changed > 0, kind
+    # orthogonal kernels: flattened columns orthonormal (up to gain)
+    ortho = init_weights(params, jax.random.key(2), "orthogonal", gain=1.0)
+    k = traverse_util.flatten_dict(ortho)[
+        ("rcab0", "res", "0_conv", "conv", "kernel")]
+    m = np.asarray(k).reshape(-1, k.shape[-1])
+    gram = m.T @ m
+    np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-4)

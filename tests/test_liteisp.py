@@ -12,6 +12,9 @@ import pytest
 
 from realcamnet_tpu.models.liteisp import ISP_MODELS
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 def _inputs(h=32, w=32, b=1):
     k = jax.random.key(0)

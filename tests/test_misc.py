@@ -1,5 +1,6 @@
 """Config system, PreCoord, profiling utils, GDN/codec layers."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,7 @@ def test_lower_bound_gradient_semantics():
     np.testing.assert_allclose(g2, [-1.0, -1.0])
 
 
+@pytest.mark.slow
 def test_awnet_forward():
     """AWNet baseline (working reconstruction of the reference's dead class,
     `LiteISP.py:2221-2319`): packed raw -> sRGB at 2x."""

@@ -12,6 +12,9 @@ from realcamnet_tpu.ops.pallas_conv import (
     fused_rcag_bhcw,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 def _rand(key, *shape):
     return jax.random.normal(jax.random.key(key), shape, jnp.float32)

@@ -7,10 +7,13 @@ import pytest
 
 from realcamnet_tpu.ops.blocks import RCAGroup
 from realcamnet_tpu.ops.pallas_rcab import (
+
     _ref_impl,
     fused_rcab_convs,
     fused_rcag_apply,
 )
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
 
 
 def _rand(key, *shape):

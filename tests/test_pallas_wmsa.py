@@ -6,6 +6,9 @@ import numpy as np
 import pytest
 
 from realcamnet_tpu.ops.attention.wmsa import WMSA
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 
 @pytest.mark.parametrize("shifted", [False, True])

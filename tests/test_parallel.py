@@ -1,9 +1,13 @@
 """Mesh/sharding tests on the virtual 8-device CPU mesh, incl. the graft
 entry points."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
 
 
 def test_mesh_creation():

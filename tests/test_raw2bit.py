@@ -7,6 +7,9 @@ import numpy as np
 import pytest
 
 from realcamnet_tpu.models.raw2bit import RAW2BIT_MODELS, raw_compression_tcm_final
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 # Tiny config: N=8 -> 2N=16 feature width, M=20 (5 slices of 4).
 TINY = dict(config=(1, 1, 1, 1, 1, 1, 1), head_dim=(4, 4, 4, 4, 4, 4, 4),

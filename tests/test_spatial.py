@@ -9,6 +9,9 @@ from realcamnet_tpu.models.liteisp import LiteISPNet
 from realcamnet_tpu.parallel.mesh import create_mesh
 from realcamnet_tpu.parallel.spatial import make_tiled_isp_forward
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 def small_isp():
     # Narrow LiteISP so the CPU-mesh test stays cheap; same topology/RF

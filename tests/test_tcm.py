@@ -9,6 +9,9 @@ import pytest
 
 from realcamnet_tpu.models.tcm import TCM
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 TINY = dict(config=(1, 1, 1, 1, 1, 1), head_dim=(4, 4, 4, 4, 4, 4), n=8, m=20,
             num_slices=5)
 

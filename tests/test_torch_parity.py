@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from tests import ref_oracle
 
-pytestmark = pytest.mark.skipif(
-    not ref_oracle.available(), reason="reference checkout or torch unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not ref_oracle.available(), reason="reference checkout or torch unavailable")]
 
 
 def _torch():

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from tests import ref_oracle
 
-pytestmark = pytest.mark.skipif(
-    not ref_oracle.available(), reason="reference checkout or torch unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not ref_oracle.available(), reason="reference checkout or torch unavailable")]
 
 
 def test_flagship_raw2bit_full_parity():

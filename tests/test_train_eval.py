@@ -24,6 +24,9 @@ from realcamnet_tpu.evaluation.metrics import (
 from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
 from realcamnet_tpu.train.isp import TrainState
 from realcamnet_tpu.train.rd import make_rd_optimizer, make_rd_train_step
+pytestmark = pytest.mark.slow  # compile-heavy; run with -m slow or no -m filter
+
+
 
 TINY = dict(config=(1, 1, 1, 1, 1, 1, 1), head_dim=(4, 4, 4, 4, 4, 4, 4),
             n=8, m=20, num_slices=5)
