@@ -37,8 +37,10 @@ def main():
     b = 1
     # Fused BHCW Pallas RCAB chains (ops/pallas_conv.py): avoids XLA's
     # 48->128 lane padding on the full-resolution trunk. BENCH_FUSED=0
-    # benches the plain XLA path.
-    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    # benches the plain XLA path; 'sub128' fuses only lane-padded (<128ch)
+    # groups.
+    fv = os.environ.get("BENCH_FUSED", "1")
+    fused = {"0": False, "1": True}.get(fv, fv)
     model = lite_isp_net_gfm_lsc(fused_rcab=fused)
     raw = jnp.ones((b, h16, w16, 4), jnp.bfloat16)
     cond = jnp.ones((b, h16, w16, 4), jnp.bfloat16)

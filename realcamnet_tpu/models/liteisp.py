@@ -66,13 +66,35 @@ class LiteISPNet(nn.Module):
     @nn.compact
     def __call__(self, raw, cond=None, coord=None, train: bool = False):
         pd = self.param_dtype
-        fr = self.fused_rcab
         ch_1, ch_2, ch_3, nb = self.ch_1, self.ch_2, self.ch_3, self.n_blocks
         gfm_nf = self.gfm_nf or (ch_1, ch_1, ch_1, ch_2)
 
-        h = Conv2d(ch_1, 3, 1, 1, param_dtype=pd, name="head")(raw)
+        def fuse(ch):
+            """fused_rcab='sub128' limits the BHCW kernel to channel counts
+            XLA lane-pads (<128); wider groups keep the XLA path."""
+            if self.fused_rcab == "sub128":
+                return "bhcw" if ch < 128 else False
+            return self.fused_rcab
+
+        # With fused_rcab on, the whole trunk runs in the channel-sublane
+        # BHCW layout (ops/pallas_conv.py): 3x3 convs hit the Pallas kernel,
+        # DWT/PixelShuffle/elementwise stay XLA on unpadded arrays, and
+        # layout converts exactly twice (entry/exit). Params are identical to
+        # the NHWC path (init always traces NHWC).
+        bhcw = bool(self.fused_rcab) and not self.is_initializing()
+        lay = "bhcw" if bhcw else "nhwc"
+        from realcamnet_tpu.ops.dwt import dwt_forward_bhcw, dwt_inverse_bhcw
+        from realcamnet_tpu.ops.pixel import pixel_shuffle_bhcw
+        dwt_f = dwt_forward_bhcw if bhcw else dwt_forward
+        dwt_i = dwt_inverse_bhcw if bhcw else dwt_inverse
+        ps = pixel_shuffle_bhcw if bhcw else pixel_shuffle
+
+        x_in = jnp.transpose(raw, (0, 1, 3, 2)) if bhcw else raw
+        h = Conv2d(ch_1, 3, 1, 1, param_dtype=pd, name="head")(x_in, lay)
         if self.use_lsc:
             lsc = LensShadingCorrection(ch_1, ch_1, param_dtype=pd, name="lsc")(coord)
+            if bhcw:
+                lsc = jnp.transpose(lsc, (0, 1, 3, 2))
             h = h * (lsc + 1)
 
         vec = None
@@ -84,20 +106,20 @@ class LiteISPNet(nn.Module):
             if vec is None:
                 return x
             for i in range(self.modulation_blocks):
-                x = ResGFM(chan, nf, param_dtype=pd, name=f"mod{stage}_{i}")(x, vec)
+                x = ResGFM(chan, nf, param_dtype=pd, name=f"mod{stage}_{i}")(x, vec, lay)
             return x
 
         def down(x, stage, mid, extra_head_conv):
-            x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv0")(x)
-            x = RCAGroup(mid, nb=nb, fused=fr, param_dtype=pd, name=f"down{stage}_rcag")(x)
+            x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv0")(x, lay)
+            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd, name=f"down{stage}_rcag")(x, lay)
             if extra_head_conv:
-                x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv1")(x)
-            return dwt_forward(x)
+                x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv1")(x, lay)
+            return dwt_f(x)
 
         def up(x, stage, mid, out_c):
-            x = dwt_inverse(x)
-            x = RCAGroup(mid, nb=nb, fused=fr, param_dtype=pd, name=f"up{stage}_rcag")(x)
-            return Conv2d(out_c, 3, 1, 1, param_dtype=pd, name=f"up{stage}_conv")(x)
+            x = dwt_i(x)
+            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd, name=f"up{stage}_rcag")(x, lay)
+            return Conv2d(out_c, 3, 1, 1, param_dtype=pd, name=f"up{stage}_conv")(x, lay)
 
         h = modulate(h, 1, ch_1, gfm_nf[0])
         d1 = down(h, 1, ch_1, extra_head_conv=True)
@@ -105,19 +127,20 @@ class LiteISPNet(nn.Module):
         d3 = down(modulate(d2, 3, ch_1 * 4, gfm_nf[2]), 3, ch_2, False)
 
         m = modulate(d3, 4, ch_2 * 4, gfm_nf[3])
-        m = Conv2d(ch_3, 3, 1, 1, param_dtype=pd, name="mid_conv0")(m)
-        m = RCAGroup(ch_3, nb=nb, fused=fr, param_dtype=pd, name="mid_rcag0")(m)
-        m = RCAGroup(ch_3, nb=nb, fused=fr, param_dtype=pd, name="mid_rcag1")(m)
-        m = Conv2d(ch_2 * 4, 3, 1, 1, param_dtype=pd, name="mid_conv1")(m)
+        m = Conv2d(ch_3, 3, 1, 1, param_dtype=pd, name="mid_conv0")(m, lay)
+        m = RCAGroup(ch_3, nb=nb, fused=fuse(ch_3), param_dtype=pd, name="mid_rcag0")(m, lay)
+        m = RCAGroup(ch_3, nb=nb, fused=fuse(ch_3), param_dtype=pd, name="mid_rcag1")(m, lay)
+        m = Conv2d(ch_2 * 4, 3, 1, 1, param_dtype=pd, name="mid_conv1")(m, lay)
         m = m + d3
 
         u3 = up(m, 3, ch_2, ch_1 * 4) + d2
         u2 = up(u3, 2, ch_1, ch_1 * 4) + d1
         u1 = up(u2, 1, ch_1, ch_1) + h
 
-        t = Conv2d(ch_1 * 4, 3, 1, 1, param_dtype=pd, name="tail_conv0")(u1)
-        t = pixel_shuffle(t, 2)
-        return Conv2d(3, 3, 1, 1, param_dtype=pd, name="tail_conv1")(t)
+        t = Conv2d(ch_1 * 4, 3, 1, 1, param_dtype=pd, name="tail_conv0")(u1, lay)
+        t = ps(t, 2)
+        out = Conv2d(3, 3, 1, 1, param_dtype=pd, name="tail_conv1")(t, lay)
+        return jnp.transpose(out, (0, 1, 3, 2)) if bhcw else out
 
 
 class ISPUNet(nn.Module):

@@ -145,12 +145,25 @@ class Conv2d(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layout: str = "nhwc"):
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
         d = _pair(self.dilation)
-        return nn.Conv(
+        bhcw = layout == "bhcw"
+        fast = (bhcw and not self.is_initializing() and k == (3, 3)
+                and s == (1, 1) and p == (1, 1) and d == (1, 1)
+                and self.groups == 1 and self.use_bias)
+        if fast:
+            # Channel-sublane Pallas conv (ops/pallas_conv.py): x is
+            # (B,H,C,W); avoids XLA's 128-lane padding for C < 128.
+            from realcamnet_tpu.ops.pallas_conv import conv3x3_bhcw_plain
+
+            pp = self.variables["params"]["conv"]
+            return conv3x3_bhcw_plain(x, pp["kernel"], pp["bias"])
+        if bhcw:
+            x = jnp.transpose(x, (0, 1, 3, 2))
+        y = nn.Conv(
             features=self.features,
             kernel_size=k,
             strides=s,
@@ -164,6 +177,7 @@ class Conv2d(nn.Module):
             dtype=x.dtype,
             name="conv",
         )(x)
+        return jnp.transpose(y, (0, 1, 3, 2)) if bhcw else y
 
 
 class ConvTranspose2d(nn.Module):
@@ -363,19 +377,23 @@ class RCAGroup(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layout: str = "nhwc"):
+        bhcw_in = layout == "bhcw"
         if (self.fused and not self.is_initializing()
                 and self.mode == "CRC" and self.kernel_size == 3):
             if self.fused == "nhwc":
                 from realcamnet_tpu.ops.pallas_rcab import fused_rcag_apply
 
+                assert not bhcw_in
                 return fused_rcag_apply(self.variables["params"], x, self.nb,
                                         tile_h=self.fused_tile_h)
             from realcamnet_tpu.ops.pallas_conv import fused_rcag_bhcw
 
-            xb = jnp.transpose(x, (0, 1, 3, 2))
+            xb = x if bhcw_in else jnp.transpose(x, (0, 1, 3, 2))
             out = fused_rcag_bhcw(self.variables["params"], xb, self.nb)
-            return jnp.transpose(out, (0, 1, 3, 2))
+            return out if bhcw_in else jnp.transpose(out, (0, 1, 3, 2))
+        if bhcw_in:
+            x = jnp.transpose(x, (0, 1, 3, 2))
         res = x
         for i in range(self.nb):
             res = RCABlock(self.channels, self.kernel_size, self.mode,
@@ -383,4 +401,5 @@ class RCAGroup(nn.Module):
                            name=f"rcab{i}")(res)
         res = Conv2d(self.channels, 3, 1, 1, param_dtype=self.param_dtype,
                      name="tail")(res)
-        return res + x
+        res = res + x
+        return jnp.transpose(res, (0, 1, 3, 2)) if bhcw_in else res

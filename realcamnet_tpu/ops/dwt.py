@@ -52,3 +52,27 @@ def dwt_inverse(x: jnp.ndarray) -> jnp.ndarray:
     patches = jnp.einsum("bhwck,kp->bhwcp", sub, haar)  # orthogonal: inv = H^T
     patches = patches.reshape(b, h, w, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
     return patches.reshape(b, h * 2, w * 2, c)
+
+
+def dwt_forward_bhcw(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,C,W) -> (B,H/2,4C,W/2) in the channel-sublane BHCW layout
+    (ops/pallas_conv.py); same subband/channel order as `dwt_forward`."""
+    b, h, c, w = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"DWT needs even spatial dims, got {h}x{w}"
+    p = x.reshape(b, h // 2, 2, c, w // 2, 2).transpose(0, 1, 3, 2, 5, 4)
+    p = p.reshape(b, h // 2, c, 4, w // 2)
+    haar = jnp.asarray(_HAAR, x.dtype)
+    sub = jnp.einsum("bhcpw,kp->bhckw", p, haar)
+    return sub.reshape(b, h // 2, c * 4, w // 2)
+
+
+def dwt_inverse_bhcw(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,4C,W) -> (B,2H,C,2W), inverse of `dwt_forward_bhcw`."""
+    b, h, c4, w = x.shape
+    assert c4 % 4 == 0
+    c = c4 // 4
+    sub = x.reshape(b, h, c, 4, w)
+    haar = jnp.asarray(_HAAR, x.dtype)
+    p = jnp.einsum("bhckw,kp->bhcpw", sub, haar)
+    p = p.reshape(b, h, c, 2, 2, w).transpose(0, 1, 3, 2, 5, 4)
+    return p.reshape(b, h * 2, c, w * 2)

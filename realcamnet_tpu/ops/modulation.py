@@ -78,15 +78,18 @@ class ResGFM(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, vec):
-        fea = Conv2d(self.chan, 3, 1, 1, param_dtype=self.param_dtype, name="conv0")(x)
+    def __call__(self, x, vec, layout: str = "nhwc"):
+        fea = Conv2d(self.chan, 3, 1, 1, param_dtype=self.param_dtype, name="conv0")(x, layout)
         s = Dense(self.nf, self.param_dtype, name="scale0")(vec)
         s = Dense(self.chan, self.param_dtype, name="scale1")(leaky_relu(s, 0.1))
         t = Dense(self.nf, self.param_dtype, name="shift0")(vec)
         t = Dense(self.chan, self.param_dtype, name="shift1")(leaky_relu(t, 0.1))
-        fea = fea * s[:, None, None, :] + t[:, None, None, :] + fea
+        if layout == "bhcw":
+            fea = fea * s[:, None, :, None] + t[:, None, :, None] + fea
+        else:
+            fea = fea * s[:, None, None, :] + t[:, None, None, :] + fea
         fea = leaky_relu(fea, 0.01)  # torch nn.LeakyReLU() default slope
-        fea = Conv2d(self.chan, 3, 1, 1, param_dtype=self.param_dtype, name="conv1")(fea)
+        fea = Conv2d(self.chan, 3, 1, 1, param_dtype=self.param_dtype, name="conv1")(fea, layout)
         return fea + x
 
 

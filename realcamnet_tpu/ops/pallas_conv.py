@@ -209,7 +209,7 @@ def _conv_kernel(x_hbm, res_hbm, add_hbm, w_ref, b_ref, gate_ref, *refs,
 
 def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
                  add=None, emit_xin=False, emit_sums=False,
-                 rg: int = 2, tile_h: int = 16, interpret: bool = False,
+                 rg=None, tile_h: int = 16, interpret: bool = False,
                  w_valid=None):
     """3x3 stride-1 same-padding conv on (B, H, C, W) activations.
 
@@ -236,7 +236,33 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
                               emit_sums=emit_sums)
 
     if cin % 8 or cout % 8:
-        return fallback()
+        # Zero-pad channels to the 8-sublane quantum (head conv 4ch, tail
+        # conv 3ch); crop on the way out. Pads are tiny vs the lane padding
+        # XLA would pay (e.g. 3 -> 128).
+        cin_p, cout_p = -(-cin // 8) * 8, -(-cout // 8) * 8
+
+        def pc(a, c_to):
+            return None if a is None else jnp.pad(
+                a, ((0, 0), (0, 0), (0, c_to - a.shape[2]), (0, 0)))
+
+        outs = conv3x3_bhcw(
+            pc(x, cin_p),
+            jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin),
+                        (0, cout_p - cout))),
+            jnp.pad(bias, (0, cout_p - cout)),
+            res_prev=pc(res_prev, cin_p),
+            gate=None if gate is None else jnp.pad(
+                gate, ((0, 0), (0, cin_p - cin))),
+            relu=relu, add=pc(add, cout_p), emit_xin=emit_xin,
+            emit_sums=emit_sums, rg=rg, tile_h=tile_h, interpret=interpret,
+            w_valid=w_valid)
+        outs = list(outs) if isinstance(outs, tuple) else [outs]
+        result = [outs.pop(0)[:, :, :cout, :]]
+        if emit_xin:
+            result.append(outs.pop(0)[:, :, :cin, :])
+        if emit_sums:
+            result.append(outs.pop(0)[:, :cout])
+        return result[0] if len(result) == 1 else tuple(result)
 
     if wd % 128:
         # Mosaic rejects HBM slices whose lane extent is not a 128 multiple:
@@ -256,8 +282,14 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
             return outs[..., :wd]
         return tuple(o[..., :wd] if o.ndim == 4 else o for o in outs)
 
+    if rg is None:
+        # Rows per MXU group: 2 packs small Cout toward the 128-row MXU tile
+        # (42% dense-useful at Cout=48); wide convs are denser with 1 row
+        # (75-90% fill at Cout>=128) and need the smaller stack footprint.
+        rg = 1 if cout >= 128 else 2
+
     # Largest tile height (divisor of H, multiple of rg) whose scratch +
-    # pipelined output blocks fit the VMEM budget.
+    # pipelined blocks + kernel stack temps fit the VMEM budget.
     ds = jnp.dtype(x.dtype).itemsize
 
     def vmem_est(t):
@@ -267,11 +299,18 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
             e += 2 * t * cin * wd * ds
         if do_add:
             e += 2 * t * cout * wd * ds
+        if fold:
+            e += (t + 2 * halo) * cin * 128 * 4  # gate block, 1-lane padded
+        # Kernel stack: loaded window, 3 tap dots + accumulator in f32,
+        # tap matrices.
+        e += (rg + 2) * cin * wd * ds
+        e += 4 * rg * cout * wd * 4
+        e += 3 * rg * cout * (rg + 2) * cin * ds
         return e
 
     th = 0
     for t in range(min(tile_h, h), rg - 1, -rg):
-        if h % t == 0 and t % rg == 0 and vmem_est(t) < 14 * 2 ** 20:
+        if h % t == 0 and t % rg == 0 and vmem_est(t) < 13 * 2 ** 20:
             th = t
             break
     if not th:  # odd H etc.: tiny maps, XLA handles them fine
@@ -353,6 +392,26 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
     if emit_sums:
         result.append(outs.pop(0)[:, :, 0])
     return result[0] if len(result) == 1 else tuple(result)
+
+
+@jax.custom_vjp
+def conv3x3_bhcw_plain(x, w, bias):
+    """Differentiable plain 3x3 BHCW conv (Conv2d layout='bhcw' fast path);
+    backward runs the XLA reference."""
+    return conv3x3_bhcw(x, w, bias)
+
+
+def _plain_vjp_fwd(x, w, bias):
+    return conv3x3_bhcw_plain(x, w, bias), (x, w, bias)
+
+
+def _plain_vjp_bwd(saved, g):
+    x, w, bias = saved
+    _, vjp = jax.vjp(_bhcw_ref_conv, x, w, bias)
+    return vjp(g)
+
+
+conv3x3_bhcw_plain.defvjp(_plain_vjp_fwd, _plain_vjp_bwd)
 
 
 def _ca_gate(sums, hw, p_ca):

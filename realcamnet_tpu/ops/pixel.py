@@ -60,3 +60,14 @@ def remove_padding_2x(y: jnp.ndarray, orig_hw: Tuple[int, int]) -> jnp.ndarray:
     """
     h, w = orig_hw
     return y[:, : 2 * h, : 2 * w, :]
+
+
+def pixel_shuffle_bhcw(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(B,H,C*r^2,W) -> (B,H*r,C,W*r) in the channel-sublane BHCW layout,
+    torch channel semantics (matches `pixel_shuffle`)."""
+    b, h, crr, w = x.shape
+    assert crr % (r * r) == 0
+    c = crr // (r * r)
+    x = x.reshape(b, h, c, r, r, w)
+    x = x.transpose(0, 1, 3, 2, 5, 4)  # (B,H,r,C,W,r)
+    return x.reshape(b, h * r, c, w * r)

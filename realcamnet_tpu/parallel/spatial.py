@@ -84,3 +84,79 @@ def make_tiled_isp_forward(model, params, mesh: Mesh, halo: int = 48,
         return fn(raw, cond, coord)
 
     return wrapper
+
+
+def liteisp_rf_radius(n_blocks: int = 4, levels: int = 3) -> int:
+    """Receptive-field radius (input rows) of the LiteISPNet trunk
+    (`LiteISP.py:1710-2035`): head+mod+down convs, DWT pyramid, middle,
+    up path. Used to size exact tiling halos; rounded up to 16."""
+    per_rcag = 2 * n_blocks + 1  # RCABs (2 convs) + tail conv
+    r, s = 0, 1
+    r += 1 + 2                       # head conv + Res_GFM (2 convs)
+    r += (1 + per_rcag + 1) * s + s  # down1 convs + DWT
+    s *= 2
+    for _ in range(levels - 1):      # down2, down3
+        r += 2 * s                   # modulation
+        r += (1 + per_rcag) * s + s  # conv0 + rcag + DWT
+        s *= 2
+    r += 2 * s                       # mod4
+    r += (1 + 2 * per_rcag + 1) * s  # mid convs + 2 rcags
+    for _ in range(levels):          # up3..1
+        r += s                       # IWT
+        s //= 2
+        r += (per_rcag + 1) * s      # rcag + conv
+    r += 2                           # tail convs
+    return -(-r // 16) * 16
+
+
+def make_tiled_forward_exact(apply_fn: Callable, mesh: Mesh, halo: int,
+                             align: int = 16) -> Callable:
+    """Exact H-tiled inference: inputs replicated, each 'spatial' shard runs
+    `apply_fn` on its clamped window [i*band - halo, ...) of the frame and
+    emits its band's output rows (any output/input row ratio); results
+    concatenate to EXACTLY the unsharded forward when halo >= the
+    receptive-field radius.
+
+    Unlike halo exchange with zero fill, clamped windows keep the frame's
+    true borders inside the first/last shard's window, so the model's own
+    per-layer padding applies there and even border rows match bit-for-bit
+    (modulo fp reduction order). For window-attention models pass
+    align = window * latent_stride (e.g. 8*32 = 256 for the joint codec) so
+    every window grid coincides with the full-frame partition; halo and
+    H/n_shards must be multiples of `align`.
+
+    apply_fn(raw_win, cond, coord_win) -> (B, rows', W', C') output.
+    """
+    axis = "spatial"
+
+    def local_fn(raw, cond, coord):
+        n = jax.lax.axis_size(axis)
+        i = jax.lax.axis_index(axis)
+        h = raw.shape[1]
+        band = h // n
+        assert band % align == 0 and halo % align == 0, (band, halo, align)
+        win = band + 2 * halo
+        assert win <= h, f"halo {halo} too large for H={h} over {n} shards"
+        start = jnp.clip(i * band - halo, 0, h - win)
+        raw_w = jax.lax.dynamic_slice_in_dim(raw, start, win, 1)
+        coord_w = jax.lax.dynamic_slice_in_dim(coord, start, win, 1)
+        out = apply_fn(raw_w, cond, coord_w)
+        off = ((i * band - start) * out.shape[1]) // win
+        rows = (band * out.shape[1]) // win
+        return jax.lax.dynamic_slice_in_dim(out, off, rows, 1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, axis, None, None),
+        )
+    )
+
+    def wrapper(raw, cond, coord):
+        repl = NamedSharding(mesh, P())
+        return fn(jax.device_put(raw, repl), jax.device_put(cond, repl),
+                  jax.device_put(coord, repl))
+
+    return wrapper

@@ -52,3 +52,63 @@ def test_tiled_shape_validation():
     with pytest.raises(AssertionError):
         fn(jnp.zeros((1, 100, 48, 4)), jnp.zeros((1, 64, 64, 4)),
            jnp.zeros((1, 100, 48, 2)))
+
+
+def test_exact_tiled_matches_unsharded_everywhere():
+    """Window-clamped tiling with halo >= receptive field is exact,
+    including the frame borders (VERDICT round-1 item 4)."""
+    from realcamnet_tpu.parallel.spatial import (
+        liteisp_rf_radius,
+        make_tiled_forward_exact,
+    )
+
+    mesh = create_mesh(data=2, spatial=4)
+    model = LiteISPNet(ch_1=8, ch_2=16, ch_3=16, n_blocks=1, cond_c=8,
+                       use_gfm=True, use_lsc=True)
+    halo = liteisp_rf_radius(n_blocks=1)
+    band = 128
+    h, w = 4 * band, 48
+    raw = jax.random.uniform(jax.random.key(0), (1, h, w, 4))
+    cond = jax.random.uniform(jax.random.key(1), (1, 64, 64, 4))
+    coord = jax.random.uniform(jax.random.key(2), (1, h, w, 2))
+    params = model.init(jax.random.key(3), raw, cond, coord)
+
+    full = model.apply(params, raw, cond, coord)
+    fn = make_tiled_forward_exact(
+        lambda r, c, co: model.apply(params, r, c, co), mesh, halo=halo)
+    tiled = fn(raw, cond, coord)
+    np.testing.assert_allclose(np.asarray(jax.device_get(tiled)),
+                               np.asarray(full), atol=1e-5)
+
+
+def test_exact_tiled_joint_encoder():
+    """Window-aligned tiling of the WMSA joint-codec encoder: shard starts on
+    8-window multiples at the latent scale (align=256) keep the Swin window
+    grids coincident; interior y rows match the unsharded encode."""
+    from realcamnet_tpu.models.raw2bit import RAW2BIT_MODELS
+    from realcamnet_tpu.parallel.spatial import make_tiled_forward_exact
+
+    mesh = create_mesh(data=4, spatial=2)
+    model = RAW2BIT_MODELS["raw_compression_tcm_final"](
+        config=(1, 1, 1, 1, 1, 1), head_dim=(32,) * 6, n=32, m=40)
+    h, w = 1024, 256
+    raw = jax.random.uniform(jax.random.key(0), (1, h, w, 4))
+    coord = jax.random.uniform(jax.random.key(1), (1, h, w, 2))
+    params = model.init(jax.random.key(2), raw, raw, coord)
+
+    y_full, _ = model.apply(params, raw, raw, coord, method="encode")
+
+    def enc(r, c, co):
+        y, _ = model.apply(params, r, c, co, method="encode")
+        return y
+
+    fn = make_tiled_forward_exact(enc, mesh, halo=256, align=256)
+    y_tiled = fn(raw, raw, coord)
+    assert y_tiled.shape == y_full.shape
+    a, b = np.asarray(y_full), np.asarray(jax.device_get(y_tiled))
+    # Interior rows (>= halo-covered RF away from shard seams) are exact.
+    band_y = y_full.shape[1] // 2
+    inner = slice(band_y // 4, 3 * band_y // 4)
+    np.testing.assert_allclose(a[:, inner], b[:, inner], atol=1e-4)
+    inner2 = slice(band_y + band_y // 4, band_y + 3 * band_y // 4)
+    np.testing.assert_allclose(a[:, inner2], b[:, inner2], atol=1e-4)
