@@ -633,3 +633,118 @@ def load_liteisp_torch_checkpoint(path: str, **kw) -> Dict[str, Any]:
             break
     sd = {k.removeprefix("module."): v for k, v in obj.items()}
     return convert_liteisp_state_dict(sd, **kw)
+
+
+def _rbu_plain(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `RBU` (raw2bit.py:3181-3206; no IGDN) -> models.raw2bit.RBU."""
+    return {"subpel": _subpel(sd, f"{key}.subpel_conv"),
+            "conv": _conv(sd, f"{key}.conv"),
+            "upsample": _subpel(sd, f"{key}.upsample")}
+
+
+def convert_raw2bit_variant_state_dict(
+    sd: Mapping[str, Any],
+    template: Mapping[str, Any],
+    config=(2, 2, 2, 2, 2, 2, 2),
+    encoder_block: str = "swin",
+    decoder_block: str = "swin",
+    hyper_a_block: str = "swin",
+    hyper_s_block: str = "swin",
+    use_gft: bool = True,
+    use_lft: bool = False,
+    use_cadr: bool = True,
+    stem: str = "conv_first",
+    downs_inline: bool = False,
+    modulation_blocks: int = 1,
+) -> Dict[str, Any]:
+    """Reference raw2bit ablation-class torch state dict -> flax params for
+    the matching `RawCompression` factory configuration.
+
+    Covers the whole §2.5 matrix: `raw_compression_tcm` (raw2bit.py:361,
+    downs_inline=True), `_xiaorong1` (890, conv blocks, downs_inline),
+    `_xiaorong2` (1269, bare), `final_xiaorong1` (2034, swin+CADR),
+    `final_xiaorong2` (2793, conv hyper), `final_rcag` (3209, RCAG/RBU
+    decoder), `final_xiaorong3`/`_` (3567/3966, swin hyper, stem variants).
+    The flagship with LFT keeps its dedicated `convert_raw2bit_state_dict`.
+    """
+    enc = {"mzj": _conv_trans_block_mzj, "swin": _conv_trans_block,
+           "conv": _residual_block}[encoder_block]
+    p: Dict[str, Any] = {}
+    if use_gft:
+        p["classifier"] = _color_condition_gfm(sd, "classifier")
+    if use_cadr:
+        p["lsc"] = _lsc(sd, "lsc")
+    if use_lft:
+        p["local_condition"] = _hybrid_condition(sd, "local_condition")
+    if stem == "conv_first":
+        p["conv_first"] = _conv(sd, "conv_first")
+    p["conv_down"] = _rbs(sd, "conv_down")
+
+    for k in (1, 2, 3):
+        if use_gft:
+            for i in range(modulation_blocks):
+                key = (f"gfm{k}.{i}" if f"gfm{k}.{i}.conv0.weight" in sd
+                       else f"gfm{k}")
+                p[f"gfm{k - 1}"] = _res_gfm(sd, key)
+        for i in range(config[k - 1]):
+            p[f"m_down{k}_{i}"] = enc(sd, f"m_down{k}.{i}")
+        dkey = (f"m_down{k}.{config[k - 1]}" if downs_inline
+                else f"m_down{k}_down")
+        p[f"down{k}"] = _conv(sd, dkey) if k == 3 else _rbs(sd, dkey)
+
+    # g_s sequential walk.
+    rcag = decoder_block == "rcag"
+    dec = {"swin": _conv_trans_block, "conv": _residual_block,
+           "rcag": lambda s, k: _rcagroup(s, k, 1)}[decoder_block]
+    up = _rbu_plain if rcag else _rbu
+    idx = 0
+    p["gs_stem"] = up(sd, f"g_s.{idx}"); idx += 1
+    for stage in (1, 2):
+        for i in range(config[2 + stage]):
+            p[f"m_up{stage}_{i}"] = dec(sd, f"g_s.{idx}"); idx += 1
+        p[f"up{stage}"] = up(sd, f"g_s.{idx}"); idx += 1
+    if rcag:
+        p["up3_pre"] = _residual_block(sd, f"g_s.{idx}"); idx += 1
+    for i in range(config[5]):
+        p[f"m_up3_{i}"] = dec(sd, f"g_s.{idx}"); idx += 1
+    p["up3"] = (up if rcag else _subpel)(sd, f"g_s.{idx}"); idx += 1
+    p["tail_block"] = (dec if rcag else _residual_block)(sd, f"g_s.{idx}")
+    idx += 1
+    p["tail_out"] = _subpel(sd, f"g_s.{idx}")
+
+    # Hyper path with per-variant block kinds.
+    hb = {"swin": _conv_trans_block, "conv": _residual_block,
+          "rcag": lambda s, k: _rcagroup(s, k, 1)}
+    p["ha_stem"] = _rbs(sd, "h_a.0")
+    for i in range(config[0]):
+        p[f"ha_{i}"] = hb[hyper_a_block](sd, f"h_a.{1 + i}")
+    p["ha_out"] = _conv(sd, f"h_a.{1 + config[0]}")
+    hs_stem = _rbu_plain if hyper_s_block == "rcag" else _rbu
+    for ours, theirs in (("hms", "h_mean_s"), ("hss", "h_scale_s")):
+        p[f"{ours}_stem"] = hs_stem(sd, f"{theirs}.0")
+        for i in range(config[3]):
+            p[f"{ours}_{i}"] = hb[hyper_s_block](sd, f"{theirs}.{1 + i}")
+        p[f"{ours}_out"] = _subpel(sd, f"{theirs}.{1 + config[3]}")
+
+    # ChARM heads (shared layout).
+    num_slices = 0
+    while f"cc_mean_transforms.{num_slices}.0.weight" in sd:
+        num_slices += 1
+    charm: Dict[str, Any] = {}
+    for i in range(num_slices):
+        for ours, theirs in ((f"mean{i}", "mean"), (f"scale{i}", "scale")):
+            charm[ours] = {
+                "atten": _swatten(sd, f"atten_{theirs}.{i}.0"),
+                "c0": _conv(sd, f"cc_{theirs}_transforms.{i}.0"),
+                "c1": _conv(sd, f"cc_{theirs}_transforms.{i}.2"),
+                "c2": _conv(sd, f"cc_{theirs}_transforms.{i}.4"),
+            }
+        charm[f"lrp{i}"] = {"c0": _conv(sd, f"lrp_transforms.{i}.0"),
+                            "c1": _conv(sd, f"lrp_transforms.{i}.2"),
+                            "c2": _conv(sd, f"lrp_transforms.{i}.4")}
+    p["charm"] = charm
+
+    tpl = template.get("params", template)
+    p["entropy_bottleneck"] = _entropy_bottleneck(
+        sd, "entropy_bottleneck", tpl.get("entropy_bottleneck"))
+    return {"params": p}

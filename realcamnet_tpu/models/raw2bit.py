@@ -485,7 +485,8 @@ def raw_compression_tcm_final_rcag(**kw) -> RawCompression:
     kw.setdefault("config", (1, 1, 1, 1, 1, 1, 1))
     return RawCompression(use_gft=False, use_lft=False, use_cadr=False,
                           encoder_block="conv", decoder_block="rcag",
-                          hyper_a_block="conv", hyper_s_block="rcag", **kw)
+                          hyper_a_block="conv", hyper_s_block="rcag",
+                          stem="stride2", **kw)
 
 
 def raw_compression_tcm_final_xiaorong3(**kw) -> RawCompression:
@@ -496,9 +497,11 @@ def raw_compression_tcm_final_xiaorong3(**kw) -> RawCompression:
 
 
 def raw_compression_tcm_final_xiaorong3_(**kw) -> RawCompression:
-    """Same with conv_first stride-1 stem (`raw2bit.py:3966-4355`)."""
+    """Same with conv_first stride-1 stem and conv hyper
+    (`raw2bit.py:3966-4355`, ha/hs ResidualBlocks at 4042-4056)."""
     return RawCompression(use_gft=False, use_lft=False, use_cadr=False,
-                          encoder_block="conv", decoder_block="conv", **kw)
+                          encoder_block="conv", decoder_block="conv",
+                          hyper_a_block="conv", hyper_s_block="conv", **kw)
 
 
 def raw_compression_tcm_final_gma(**kw) -> RawCompression:
