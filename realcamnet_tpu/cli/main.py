@@ -38,6 +38,54 @@ def cmd_models(args):
         print(" ", k)
 
 
+def _train_groupmix(args):
+    """Backbone classification training (`rcn train --model groupmixformer`):
+    GroupMixFormer + cross-entropy on synthetic labeled images."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from realcamnet_tpu.models.groupmix import groupmixformer_tiny
+    from realcamnet_tpu.parallel.mesh import create_mesh, shard_batch
+    from realcamnet_tpu.train.classify import (
+        ClsTrainState,
+        make_cls_train_step,
+        synthetic_cls_batch,
+    )
+
+    num_classes = 10
+    model = groupmixformer_tiny(num_classes=num_classes)
+    mesh = None
+    if args.mesh_data:
+        mesh = create_mesh(data=args.mesh_data, spatial=args.mesh_spatial)
+    size = args.patch
+    example = synthetic_cls_batch(0, args.batch_size, size, num_classes)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(args.seed), jnp.asarray(example["image"]))
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    print(f"[train] groupmixformer: {n_params/1e6:.2f}M params")
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr))
+    state = ClsTrainState.create(variables, tx)
+    step_fn = make_cls_train_step(model, mesh=mesh)
+    rng = jax.random.key(args.seed + 1)
+    t0 = time.time()
+    curve = []
+    for i in range(args.steps):
+        rng, sub = jax.random.split(rng)
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_cls_batch(i + 1, args.batch_size, size,
+                                     num_classes).items()}
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = step_fn(state, batch, sub)
+        if (i + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            curve.append({"step": i + 1, **m})
+            print(f"[train] step {i+1} loss={m['loss']:.4f} acc={m['acc']:.3f}")
+    return {"ckpt": "", "curve": curve, "train_s": time.time() - t0}
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -57,6 +105,9 @@ def cmd_train(args):
     from realcamnet_tpu.train.isp import TrainState, make_isp_train_step
     from realcamnet_tpu.train.rd import make_rd_optimizer, make_rd_train_step
     from realcamnet_tpu.train.schedules import make_schedule
+
+    if args.model == "groupmixformer":
+        return _train_groupmix(args)
 
     model, kind = _build_model(args.model)
     patch = args.patch
@@ -115,33 +166,63 @@ def cmd_train(args):
 
     rng = jax.random.key(args.seed + 1)
     t0 = time.time()
-    for i, batch in enumerate(batches()):
-        rng, sub = jax.random.split(rng)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if mesh is not None:
-            batch = shard_batch(mesh, batch)
-        state, metrics = step_fn(state, batch, sub)
-        if (i + 1) % args.log_every == 0:
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            rate = (i + 1) * args.batch_size / (time.time() - t0)
+    curve = []
+    if args.device_loop and args.data == "synthetic" and kind == "raw2bit":
+        # On-device scan loop: `--device-loop K` runs K steps per jit call
+        # with batches drawn on device (train/rd.py make_rd_train_chunk) —
+        # removes the per-step host round trip that dominates wall time on
+        # remote-dispatch backends.
+        from realcamnet_tpu.train.rd import make_rd_train_chunk
+
+        chunk = args.device_loop
+        chunk_fn = make_rd_train_chunk(model, args.lmbda, args.batch_size,
+                                       patch, chunk, mesh=mesh)
+        for ci in range(-(-args.steps // chunk)):
+            rng, sub = jax.random.split(rng)
+            state, ms = chunk_fn(state, sub)
+            m = {k: float(v[-1]) for k, v in jax.device_get(ms).items()}
+            step = int(jax.device_get(state.step))
+            curve.append({"step": step, **m})
+            rate = step * args.batch_size / (time.time() - t0)
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
-            print(f"[train] step {int(state.step)} {msg} ({rate:.2f} img/s)")
-        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
-            path = save_checkpoint(args.ckpt_dir, state)
-            print(f"[train] saved {path}")
+            print(f"[train] step {step} {msg} ({rate:.2f} img/s)", flush=True)
+            if args.ckpt_dir and (ci + 1) * chunk % max(args.ckpt_every, chunk) == 0:
+                print(f"[train] saved {save_checkpoint(args.ckpt_dir, state)}")
+    else:
+        for i, batch in enumerate(batches()):
+            rng, sub = jax.random.split(rng)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch, sub)
+            if (i + 1) % args.log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                curve.append({"step": int(jax.device_get(state.step)), **m})
+                rate = (i + 1) * args.batch_size / (time.time() - t0)
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                print(f"[train] step {curve[-1]['step']} {msg} ({rate:.2f} img/s)")
+            if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+                path = save_checkpoint(args.ckpt_dir, state)
+                print(f"[train] saved {path}")
+    path = ""
     if args.ckpt_dir:
         path = save_checkpoint(args.ckpt_dir, state)
         print(f"[train] saved {path}")
+    return {"ckpt": path, "curve": curve, "train_s": time.time() - t0}
 
 
 def cmd_eval_rd(args):
     import jax
     import jax.numpy as jnp
 
-    from realcamnet_tpu.data.dataset import PairedRawDataset, synthetic_batch
+    from realcamnet_tpu.data.dataset import (
+        PairedRawDataset,
+        synthetic_batch,
+        synthetic_eval_batches_jax,
+    )
     from realcamnet_tpu.evaluation.rd import (
         eval_dataset,
-        eval_real_bitstream,
+        eval_real_bitstream_set,
     )
     from realcamnet_tpu.train.checkpoint import restore_params
 
@@ -154,6 +235,10 @@ def cmd_eval_rd(args):
             for i in range(args.num_images):
                 yield {k: jnp.asarray(v) for k, v in
                        synthetic_batch(1000 + i, 1, args.patch).items()}
+        elif args.data == "synthetic-jax":
+            # Same distribution the --device-loop trainer draws from.
+            yield from synthetic_eval_batches_jax(1000, args.num_images,
+                                                  args.patch)
         else:
             ds = PairedRawDataset(args.data, patch=args.patch, train=False)
             for i in range(min(args.num_images, len(ds))):
@@ -183,8 +268,12 @@ def cmd_eval_rd(args):
     result = eval_dataset(model, params, batches(),
                           lpips_params=lpips_params, lpips_net=args.lpips_net)
     if args.real_bitstream:
-        result.update(eval_real_bitstream(model, params, example))
-    print(json.dumps({"model": args.model, "ckpt": args.ckpt, **result}))
+        # Whole eval set through the real rANS coder (one codec, reused),
+        # reporting the real-vs-estimated bpp gap distribution.
+        result.update(eval_real_bitstream_set(model, params, batches()))
+    result = {"model": args.model, "ckpt": args.ckpt, **result}
+    print(json.dumps(result))
+    return result
 
 
 MAGIC = b"RCN1"
@@ -288,12 +377,132 @@ def cmd_profile(args):
 
 def cmd_sweep(args):
     """Train + eval one model per lambda point — the full RD-curve recipe
-    (reference operating points, BASELINE.md)."""
-    import copy
-
+    (reference operating points, BASELINE.md). With --device-loop the
+    training runs as on-device scan chunks (fast path through remote-dispatch
+    backends); --out writes the whole sweep (curves + RD points + real-
+    bitstream verification) as one JSON artifact."""
     from realcamnet_tpu.core.config import ExperimentConfig
 
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
+    eval_data = ("synthetic-jax" if args.device_loop and
+                 cfg.data.source == "synthetic" else cfg.data.source)
+    if args.device_loop and cfg.data.source == "synthetic":
+        results = _sweep_device_loop(cfg, args.device_loop, eval_data)
+    else:
+        results = _sweep_via_train(cfg, args, eval_data)
+    out = {"config": json.loads(cfg.to_json()), "device_loop": args.device_loop,
+           "points": results}
+    print(json.dumps({"sweep": [{"lmbda": r["lmbda"], **r["eval"]}
+                                for r in results]}))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"[sweep] wrote {args.out}")
+    return out
+
+
+def _sweep_device_loop(cfg, chunk, eval_data):
+    """One-process sweep fast path: the scan-chunk train program takes lambda
+    as a RUNTIME scalar, so all lambda legs share a single trace/compile —
+    essential through remote-dispatch backends where every compile of the
+    full fwd+bwd graph costs minutes and the persistent cache does not apply."""
+    import jax
+    import numpy as np
+
+    from realcamnet_tpu.models.raw2bit import RAW2BIT_MODELS
+    from realcamnet_tpu.data.dataset import (
+        synthetic_batch_jax,
+        synthetic_eval_batches_jax,
+    )
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+    from realcamnet_tpu.evaluation.rd import (
+        _make_eval_fn,
+        eval_forward_metrics,
+        eval_real_bitstream,
+    )
+    from realcamnet_tpu.train.checkpoint import save_checkpoint
+    from realcamnet_tpu.train.isp import TrainState
+    from realcamnet_tpu.train.rd import make_rd_optimizer, make_rd_train_chunk
+    from realcamnet_tpu.train.schedules import make_schedule
+
+    t = cfg.train
+    model = RAW2BIT_MODELS[cfg.model.name](**cfg.model.kwargs)
+    example = synthetic_batch_jax(jax.random.key(0), 1, t.patch)
+    sched = make_schedule(t.lr_policy, t.lr, niter=t.steps,
+                          niter_decay=t.niter_decay,
+                          lr_decay_iters=t.lr_decay_iters)
+    chunk_fn = make_rd_train_chunk(model, t.lmbda, t.batch_size, t.patch,
+                                   chunk)
+    # Shared eval/codec jits across lambda legs (params are jit ARGS, so one
+    # trace serves all four checkpoints).
+    eval_fn = _make_eval_fn(model)
+    codec = None
+    results = []
+    for li, lmbda in enumerate(cfg.lambdas):
+        t0 = time.time()
+        params = jax.jit(model.init)(jax.random.key(t.seed + li),
+                                     example["raw"], example["cond"],
+                                     example["coord"])
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        print(f"[sweep] lmbda={lmbda:g}: {n_params/1e6:.2f}M params",
+              flush=True)
+        tx = make_rd_optimizer(t.lr, aux_lr=t.aux_lr, clip_norm=t.clip_norm,
+                               schedule=sched)
+        state = TrainState.create(params, tx)
+        rng = jax.random.key(t.seed + 100 + li)
+        curve = []
+        import jax.numpy as jnp
+
+        lm = jnp.float32(lmbda)
+        for ci in range(-(-t.steps // chunk)):
+            rng, sub = jax.random.split(rng)
+            state, ms = chunk_fn(state, sub, lm)
+            m = {k: float(v[-1]) for k, v in jax.device_get(ms).items()}
+            step = int(jax.device_get(state.step))
+            curve.append({"step": step, **m})
+            rate = step * t.batch_size / (time.time() - t0)
+            print(f"[sweep] lmbda={lmbda:g} step {step} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                  + f" ({rate:.2f} img/s)", flush=True)
+        ckpt_dir = os.path.join(t.ckpt_dir, f"lmbda_{lmbda:g}")
+        ckpt = save_checkpoint(ckpt_dir, state)
+        print(f"[sweep] saved {ckpt}", flush=True)
+        train_s = time.time() - t0
+
+        # Eval: likelihood metrics + real-bitstream over the whole eval set.
+        if codec is None:
+            codec = ChARMCodec(model, state.params)
+        else:
+            codec.params = state.params
+        codec.update()
+        acc = {}
+        per_img = []
+        for b in synthetic_eval_batches_jax(1000, cfg.data.num_eval_images,
+                                            t.patch):
+            est = eval_forward_metrics(model, state.params, b, _fn=eval_fn)
+            rb = eval_real_bitstream(model, state.params, b, codec=codec)
+            rb["bpp_est"] = est["bpp"]
+            rb["bpp_gap_pct"] = (100.0 * (rb["bpp_real"] - est["bpp"])
+                                 / max(est["bpp"], 1e-9))
+            per_img.append(rb)
+            for k, v in est.items():
+                acc[k] = acc.get(k, 0.0) + v / cfg.data.num_eval_images
+        ev = dict(acc)
+        for k in per_img[0]:
+            vals = np.array([p[k] for p in per_img], np.float64)
+            ev[k if k not in ev else k] = float(vals.mean())
+            if k == "bpp_gap_pct":
+                ev["bpp_gap_pct_std"] = float(vals.std())
+                ev["bpp_gap_pct_max"] = float(vals.max())
+        ev["num_images"] = cfg.data.num_eval_images
+        print(f"[sweep] lmbda={lmbda:g} eval: {json.dumps(ev)}", flush=True)
+        results.append({"lmbda": lmbda, "eval": ev, "train_s": train_s,
+                        "curve": curve})
+    return results
+
+
+def _sweep_via_train(cfg, args, eval_data):
     results = []
     for lmbda in cfg.lambdas:
         ckpt_dir = os.path.join(cfg.train.ckpt_dir, f"lmbda_{lmbda:g}")
@@ -306,18 +515,20 @@ def cmd_sweep(args):
             "--ckpt-every", str(cfg.train.ckpt_every),
             "--log-every", str(cfg.train.log_every),
         ]
+        if args.device_loop:
+            train_args += ["--device-loop", str(args.device_loop)]
         if cfg.mesh.data:
             train_args += ["--mesh-data", str(cfg.mesh.data),
                            "--mesh-spatial", str(cfg.mesh.spatial)]
-        main(train_args)
-        from realcamnet_tpu.train.checkpoint import latest_checkpoint
-
-        ckpt = latest_checkpoint(ckpt_dir) or ""
-        main(["eval-rd", "--model", cfg.model.name, "--data", cfg.data.source,
-              "--ckpt", ckpt, "--patch", str(cfg.train.patch),
-              "--num-images", str(cfg.data.num_eval_images)])
-        results.append({"lmbda": lmbda, "ckpt": ckpt})
-    print(json.dumps({"sweep": results}))
+        tr = main(train_args)
+        ev = main(["eval-rd", "--model", cfg.model.name, "--data", eval_data,
+                   "--ckpt", tr["ckpt"], "--patch", str(cfg.train.patch),
+                   "--num-images", str(cfg.data.num_eval_images),
+                   "--real-bitstream"])
+        results.append({"lmbda": lmbda, "eval": ev,
+                        "train_s": tr["train_s"],
+                        "curve": tr["curve"]})
+    return results
 
 
 def main(argv=None):
@@ -348,6 +559,9 @@ def main(argv=None):
                             "orthogonal", "uniform"],
                    help="weight-init zoo (reference networks.py:73-97)")
     t.add_argument("--init-gain", type=float, default=0.02)
+    t.add_argument("--device-loop", type=int, default=0,
+                   help="run K steps per jit call with on-device synthetic "
+                        "batches (lax.scan; requires --data synthetic)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval-rd")
@@ -359,7 +573,11 @@ def main(argv=None):
     e.add_argument("--real-bitstream", action="store_true")
     e.add_argument("--lpips-ckpt", default="",
                    help="torch LPIPS weights (.pth), or 'random' for a "
-                        "randomly-initialized net (wiring check only)")
+                        "randomly-initialized net (wiring check only). "
+                        "Published-comparable LPIPS numbers REQUIRE the pip "
+                        "`lpips` package's pretrained weights here; without "
+                        "them the LPIPS column is not comparable to the "
+                        "reference rdcurve.png")
     e.add_argument("--lpips-net", default="alex", choices=["alex", "vgg"])
     e.set_defaults(fn=cmd_eval_rd)
 
@@ -384,6 +602,9 @@ def main(argv=None):
     s.add_argument("--config", default="",
                    help="ExperimentConfig JSON; defaults cover the 4-lambda "
                         "RD curve")
+    s.add_argument("--device-loop", type=int, default=0,
+                   help="steps per jit call for the on-device train loop")
+    s.add_argument("--out", default="", help="write sweep artifact JSON here")
     s.set_defaults(fn=cmd_sweep)
 
     pr = sub.add_parser("profile")

@@ -24,6 +24,7 @@ import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -83,6 +84,59 @@ def synthetic_batch(seed: int, batch: int, packed_size: int = 128,
         out_rgb[b] = np.clip(rgb, 0, 1)
     return {"raw": out_raw, "cond": out_cond, "coord": out_coord,
             "target": out_rgb}
+
+
+def synthetic_batch_jax(key, batch: int, packed_size: int = 128,
+                        full_hw: Optional[Tuple[int, int]] = None) -> Dict[str, jnp.ndarray]:
+    """Device-side synthetic pairs: jit-friendly twin of `synthetic_batch`.
+
+    Built for the on-device scan trainer (train/rd.py): generating batches
+    inside the jitted step removes the per-step host->device transfer that
+    dominates wall time on remote-dispatch backends.
+
+    Content is a multi-scale random field (smooth base + mid detail + blocky
+    edges) squashed to (0,1) — spatially correlated, hence *compressible*, so
+    RD training has a meaningful operating range (unlike iid noise). The
+    raw->target mapping matches `synthetic_batch`'s physics: RGGB packing with
+    correlated greens, coordinate-dependent vignetting on the raw only (the
+    CADR branch must undo it via `coord`), green averaging + 1/2.2 gamma and
+    2x upsample for the sRGB target.
+    """
+    s = packed_size
+    assert s % 16 == 0, "packed_size must be a multiple of 16"
+    fh, fw = full_hw if full_hw is not None else (s, s)
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape = lambda d: (batch, s // d, s // d, 3)
+    up = lambda x: jax.image.resize(x, (batch, s, s, 3), "bilinear")
+    lo = jax.random.normal(k1, shape(16), jnp.float32)
+    mid = jax.random.normal(k2, shape(4), jnp.float32)
+    blocks = jax.random.normal(k3, shape(8), jnp.float32)
+    field = (1.2 * up(lo) + 0.35 * up(mid)
+             + 0.3 * jax.image.resize(blocks, (batch, s, s, 3), "nearest"))
+    rgb_lin = jax.nn.sigmoid(1.5 * field)
+    r, g, b = rgb_lin[..., 0], rgb_lin[..., 1], rgb_lin[..., 2]
+    g2 = 0.98 * g + 0.02 * b
+    packed = jnp.stack([r, g, g2, b], axis=-1)
+    ys = jnp.arange(s) / max(fh - 1, 1) * 2.0 - 1.0
+    xs = jnp.arange(s) / max(fw - 1, 1) * 2.0 - 1.0
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coord = jnp.broadcast_to(jnp.stack([yy, xx], -1)[None],
+                             (batch, s, s, 2)).astype(jnp.float32)
+    vign = 1.0 - 0.3 * (yy ** 2 + xx ** 2) / 2.0
+    raw = packed * vign[None, :, :, None]
+    rgb_small = jnp.stack([r, 0.5 * (g + g2), b], -1) ** (1.0 / 2.2)
+    rgb = jax.image.resize(rgb_small, (batch, 2 * s, 2 * s, 3), "nearest")
+    return {"raw": raw, "cond": raw, "coord": coord,
+            "target": jnp.clip(rgb, 0.0, 1.0)}
+
+
+def synthetic_eval_batches_jax(seed: int, num: int, packed_size: int = 128,
+                               batch: int = 1) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Deterministic eval batches drawn from `synthetic_batch_jax`'s
+    distribution (fold_in-keyed), matching what the scan trainer saw."""
+    for i in range(num):
+        key = jax.random.fold_in(jax.random.key(seed), i)
+        yield synthetic_batch_jax(key, batch, packed_size)
 
 
 class PairedRawDataset:

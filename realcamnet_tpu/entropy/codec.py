@@ -110,15 +110,21 @@ class ChARMCodec:
         self._slice_lrp = jax.jit(
             lambda p, ms, yh, i: model.apply(p, ms, yh, i, method="slice_lrp"),
             static_argnames=("i",))
+        # One cached jit per method: building a fresh jax.jit(lambda ...)
+        # inside compress()/decompress() would re-trace on EVERY call
+        # (seconds per 4K frame through remote-dispatch backends).
+        self._encode = {}
+        self._decode = {}
+        self._eb_pmf = jax.jit(lambda p: model.apply(p, method="eb_pmf_params"))
+        self._eb_med = jax.jit(lambda p: model.apply(p, method="eb_medians"))
 
     def update(self):
         self.gauss = build_gaussian_tables()
         pmf, tail, offsets, pmf_lengths = jax.device_get(
-            jax.jit(lambda p: self.model.apply(p, method="eb_pmf_params"))(self.params))
+            self._eb_pmf(self.params))
         self.fact = build_factorized_tables(pmf, tail, offsets, pmf_lengths)
-        self._medians = np.asarray(jax.device_get(
-            jax.jit(lambda p: self.model.apply(p, method="eb_medians"))(self.params)),
-            np.float64)
+        self._medians = np.asarray(jax.device_get(self._eb_med(self.params)),
+                                   np.float64)
 
     # ---- factorized (z) coding ----
 
@@ -209,9 +215,10 @@ class ChARMCodec:
         """Run the model's analysis (method `encode_method` -> (y, z)), then
         code z and y. Returns {"strings": [[y_str], [z_str]], "shape": (Hz,Wz)}."""
         assert self.fact is not None, "call update() first"
-        y, z = jax.jit(
-            lambda p, *a: self.model.apply(p, *a, method=encode_method))(
-                self.params, *model_inputs)
+        if encode_method not in self._encode:
+            self._encode[encode_method] = jax.jit(
+                lambda p, *a: self.model.apply(p, *a, method=encode_method))
+        y, z = self._encode[encode_method](self.params, *model_inputs)
         z_np = np.asarray(jax.device_get(z))
         z_str = self.compress_z(z_np)
         z_hat = jnp.asarray(self.decompress_z(z_str, z_np.shape[1:3], z_np.shape[-1]))
@@ -226,7 +233,8 @@ class ChARMCodec:
         latent_means, latent_scales = self._h_synth(self.params, z_hat)
         y_shape = (shape[0] * 4, shape[1] * 4)
         y_hat = self.decompress_y(strings[0][0], latent_means, latent_scales, y_shape)
-        x_hat = jax.jit(
-            lambda p, yh: self.model.apply(p, yh, method=decode_method))(
-                self.params, y_hat)
+        if decode_method not in self._decode:
+            self._decode[decode_method] = jax.jit(
+                lambda p, yh: self.model.apply(p, yh, method=decode_method))
+        x_hat = self._decode[decode_method](self.params, y_hat)
         return {"x_hat": jnp.clip(x_hat, 0.0, 1.0)}

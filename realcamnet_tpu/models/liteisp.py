@@ -60,7 +60,7 @@ class LiteISPNet(nn.Module):
     # LiteISPNet_GFM_LSC (`LiteISP.py:1938-1968`).
     gfm_nf: Optional[Tuple[int, int, int, int]] = None
     modulation_blocks: int = 1
-    fused_rcab: bool = False  # Pallas fused RCAB chains (ops/pallas_rcab.py)
+    fused_rcab: bool = False  # Pallas fused RCAB chains (ops/pallas_conv.py)
     param_dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -164,16 +164,26 @@ class WMSA(nn.Module):
 
             nw = hw * ww
             if shift:
-                mask = _shift_mask(hw, ww, p, shift)
+                # Seam-compressed mask: the two (p^2, p^2) patterns are
+                # trace-time constants; per-window (G, 2) flags say whether a
+                # window sits on the last window row / column. The kernel
+                # rebuilds the mask in VMEM — no O(G * p^4) HBM traffic.
+                row_pat, col_pat = _shift_patterns(p, shift)
+                neg = jnp.float32(-1e9)
+                row_pat = jnp.asarray(row_pat, jnp.float32) * neg
+                col_pat = jnp.asarray(col_pat, jnp.float32) * neg
+                fr = jnp.zeros((hw,), jnp.float32).at[-1].set(1.0)
+                fc = jnp.zeros((ww,), jnp.float32).at[-1].set(1.0)
+                flags = jnp.stack([jnp.repeat(fr, ww), jnp.tile(fc, hw)], -1)
+                seam = (row_pat, col_pat, jnp.tile(flags, (b, 1)))
             else:
-                mask = jnp.zeros((nw, p * p, p * p), jnp.float32)
-            mask = jnp.tile(mask, (b, 1, 1))
+                seam = None
             out = window_attention(
                 q.reshape(b * nw, n_heads, p * p, self.head_dim),
                 k.reshape(b * nw, n_heads, p * p, self.head_dim),
                 v.reshape(b * nw, n_heads, p * p, self.head_dim),
-                bias_hpq.astype(jnp.float32), mask, scale, 8,
-                jax.default_backend() == "cpu",
+                bias_hpq.astype(jnp.float32), scale, 8,
+                jax.default_backend() == "cpu", seam=seam,
             )
             out = out.reshape(b, nw, n_heads, p * p, self.head_dim)
         else:

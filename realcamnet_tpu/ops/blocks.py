@@ -361,10 +361,8 @@ class RCAGroup(nn.Module):
     'CRC' mode / 3x3 kernels only) the forward runs the Pallas fused RCAB
     chain in the channel-sublane BHCW layout (ops/pallas_conv.py) — proven
     on real TPU hardware at ~2.8x the XLA NHWC path at 4K, where XLA
-    lane-pads 48 channels to 128. `fused="nhwc"` selects the legacy NHWC
-    tile kernel (ops/pallas_rcab.py; interpret-mode only on real Mosaic).
-    Init and gradient paths are unchanged (custom_vjp recomputes through
-    the XLA reference).
+    lane-pads 48 channels to 128. Init and gradient paths are unchanged
+    (custom_vjp recomputes through the XLA reference).
     """
 
     channels: int = 64
@@ -372,7 +370,7 @@ class RCAGroup(nn.Module):
     mode: str = "CRC"
     reduction: int = 16
     nb: int = 12
-    fused: Any = False  # False | True | "bhcw" | "nhwc"
+    fused: Any = False  # False | True | "bhcw"
     fused_tile_h: int = 8
     param_dtype: Dtype = jnp.float32
 
@@ -381,12 +379,6 @@ class RCAGroup(nn.Module):
         bhcw_in = layout == "bhcw"
         if (self.fused and not self.is_initializing()
                 and self.mode == "CRC" and self.kernel_size == 3):
-            if self.fused == "nhwc":
-                from realcamnet_tpu.ops.pallas_rcab import fused_rcag_apply
-
-                assert not bhcw_in
-                return fused_rcag_apply(self.variables["params"], x, self.nb,
-                                        tile_h=self.fused_tile_h)
             from realcamnet_tpu.ops.pallas_conv import fused_rcag_bhcw
 
             xb = x if bhcw_in else jnp.transpose(x, (0, 1, 3, 2))

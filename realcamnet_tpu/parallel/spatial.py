@@ -20,6 +20,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -158,5 +159,80 @@ def make_tiled_forward_exact(apply_fn: Callable, mesh: Mesh, halo: int,
         repl = NamedSharding(mesh, P())
         return fn(jax.device_put(raw, repl), jax.device_put(cond, repl),
                   jax.device_put(coord, repl))
+
+    return wrapper
+
+
+def tile_windows(h: int, n: int, halo: int, align: int = 16):
+    """Window plan for H rows over n shards: returns (band, win, starts,
+    offsets) with starts[i] the clamped window origin of shard i and
+    offsets[i] the row of shard i's band within its window. Same clamping
+    rule as `make_tiled_forward_exact`, shared so host and device agree."""
+    band = h // n
+    assert band * n == h and band % align == 0 and halo % align == 0, (
+        h, n, halo, align)
+    win = band + 2 * halo
+    assert win <= h, f"halo {halo} too large for H={h} over {n} shards"
+    starts = [min(max(i * band - halo, 0), h - win) for i in range(n)]
+    return band, win, starts, [i * band - starts[i] for i in range(n)]
+
+
+def make_tiled_forward_sharded(apply_fn: Callable, mesh: Mesh, halo: int,
+                               align: int = 16) -> Callable:
+    """Memory-scalable exact H-tiled inference: each shard holds ONLY its
+    clamped window (device memory O(band + 2*halo) rows per chip, not
+    O(frame)), unlike `make_tiled_forward_exact` which replicates the whole
+    frame to every device.
+
+    The wrapper slices the n overlapping windows on the host (numpy views,
+    no device transfer of the full frame to every chip) and stacks them on a
+    leading axis sharded over 'spatial': device i receives exactly windows
+    [i]. In a multi-host deployment each process feeds its own windows via
+    `jax.make_array_from_process_local_data` with the same sharding — the
+    plan (`tile_windows`) is deterministic on (H, n, halo, align).
+
+    Window contents and band extraction are identical to
+    `make_tiled_forward_exact`, so the output equals the unsharded forward
+    whenever halo >= the receptive-field radius (and `align` keeps window
+    grids coincident for window-attention models).
+
+    apply_fn(raw_win, cond, coord_win) -> (B, rows', W', C').
+    """
+    axis = "spatial"
+
+    def local_fn(raw_w, cond, coord_w, off):
+        # raw_w: (1, B, win, W, C) this shard's window; off: (1,) int32.
+        out = apply_fn(raw_w[0], cond, coord_w[0])
+        win = raw_w.shape[2]
+        band = win - 2 * halo
+        off_out = (off[0] * out.shape[1]) // win
+        rows = (band * out.shape[1]) // win
+        return jax.lax.dynamic_slice_in_dim(out, off_out, rows, 1)[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+    )
+
+    def wrapper(raw, cond, coord):
+        n = mesh.shape[axis]
+        h = raw.shape[1]
+        band, win, starts, offs = tile_windows(h, n, halo, align)
+        raw_h = np.asarray(raw)
+        coord_h = np.asarray(coord)
+        raw_w = np.stack([raw_h[:, s : s + win] for s in starts])
+        coord_w = np.stack([coord_h[:, s : s + win] for s in starts])
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        out = fn(jax.device_put(raw_w, shard), jax.device_put(cond, repl),
+                 jax.device_put(coord_w, shard),
+                 jax.device_put(np.asarray(offs, np.int32), shard))
+        # (n, B, rows', W', C') -> (B, n*rows', W', C')
+        o = out.shape
+        return jnp.moveaxis(out, 0, 1).reshape(o[1], o[0] * o[2], o[3], o[4])
 
     return wrapper

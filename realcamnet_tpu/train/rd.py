@@ -60,16 +60,7 @@ def make_rd_optimizer(lr: float = 1e-4, aux_lr: float = 1e-3,
     return optax.multi_transform({"main": main, "aux": aux}, label_fn)
 
 
-def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
-                       inputs=("raw", "cond", "coord")) -> Callable:
-    """jitted train_step(state, batch, rng) -> (state, metrics).
-
-    batch keys: `inputs`... + 'target'. The aux quantile loss is added to the
-    total so the 'aux'-labeled optimizer sees its gradient; main params get
-    only the RD gradient (quantile loss depends only on quantiles; RD loss
-    treats medians as stop-gradient, matching CompressAI).
-    """
-
+def _make_step_fn(model, lmbda: float, inputs=("raw", "cond", "coord")):
     def step_fn(state: TrainState, batch, rng):
         noise_rng, drop_rng = jax.random.split(rng)
 
@@ -86,6 +77,20 @@ def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
+                       inputs=("raw", "cond", "coord")) -> Callable:
+    """jitted train_step(state, batch, rng) -> (state, metrics).
+
+    batch keys: `inputs`... + 'target'. The aux quantile loss is added to the
+    total so the 'aux'-labeled optimizer sees its gradient; main params get
+    only the RD gradient (quantile loss depends only on quantiles; RD loss
+    treats medians as stop-gradient, matching CompressAI).
+    """
+    step_fn = _make_step_fn(model, lmbda, inputs)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
@@ -97,3 +102,45 @@ def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_rd_train_chunk(model, lmbda: float, batch_size: int, patch: int,
+                        chunk: int, mesh: Optional[Mesh] = None,
+                        inputs=("raw", "cond", "coord")) -> Callable:
+    """jitted chunk_fn(state, key) -> (state, stacked metrics (chunk,)).
+
+    Runs `chunk` RD training steps in ONE device program via `lax.scan`,
+    drawing each batch on device from `synthetic_batch_jax`. This removes
+    the per-step host round trip (batch upload + dispatch), which dominates
+    wall time on remote-dispatch backends (~2.3 s/step host-driven at r2 vs
+    the ~100 ms/step of actual compute). Used by `rcn train --device-loop`
+    and the RD sweep.
+
+    `lmbda` is passed into the compiled program as a runtime scalar, so the
+    four sweep legs produce IDENTICAL HLO — one compile (or persistent-cache
+    hit) covers the whole lambda sweep.
+    """
+    from realcamnet_tpu.data.dataset import synthetic_batch_jax
+
+    def chunk_fn(state: TrainState, key, lmbda_s):
+        step_fn = _make_step_fn(model, lmbda_s, inputs)
+
+        def body(carry, _):
+            st, k = carry
+            k, kb, kd = jax.random.split(k, 3)
+            batch = synthetic_batch_jax(kb, batch_size, patch)
+            st, metrics = step_fn(st, batch, kd)
+            return (st, k), metrics
+
+        (state, _), ms = jax.lax.scan(body, (state, key), None, length=chunk)
+        return state, ms
+
+    if mesh is None:
+        jitted = jax.jit(chunk_fn, donate_argnums=(0,))
+    else:
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(chunk_fn, in_shardings=(repl, repl, repl),
+                         out_shardings=(repl, repl), donate_argnums=(0,))
+    lm = jnp.float32(lmbda)
+    return lambda state, key, lmbda_s=None: jitted(
+        state, key, lm if lmbda_s is None else lmbda_s)

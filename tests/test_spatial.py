@@ -21,28 +21,32 @@ def small_isp():
 
 
 def test_tiled_matches_unsharded_interior():
+    """Halo-exchange path: with halo >= the receptive-field radius, interior
+    rows (away from the frame's top/bottom borders, where zero-filled halos
+    legitimately differ from the model's own per-layer border padding) match
+    the unsharded forward tightly."""
+    from realcamnet_tpu.parallel.spatial import liteisp_rf_radius
+
     mesh = create_mesh(data=2, spatial=4)
     model = small_isp()
-    k = jax.random.key(0)
-    h, w = 4 * 32, 48  # 4 spatial shards of 32 rows
-    raw = jax.random.uniform(k, (1, h, w, 4))
+    halo = liteisp_rf_radius(n_blocks=1)
+    band = 192
+    h, w = 4 * band, 48
+    raw = jax.random.uniform(jax.random.key(0), (1, h, w, 4))
     cond = jax.random.uniform(jax.random.key(1), (1, 64, 64, 4))
     coord = jax.random.uniform(jax.random.key(2), (1, h, w, 2))
     params = model.init(jax.random.key(3), raw, cond, coord)
 
     full = model.apply(params, raw, cond, coord)
-    tiled_fn = make_tiled_isp_forward(model, params, mesh, halo=32)
+    tiled_fn = make_tiled_isp_forward(model, params, mesh, halo=halo)
     tiled = tiled_fn(raw, cond, coord)
 
     assert tiled.shape == full.shape == (1, 2 * h, 2 * w, 3)
     a = np.asarray(full)
     b = np.asarray(jax.device_get(tiled))
-    # Shard-center rows are beyond the halo's receptive-field error.
-    for s in range(4):
-        center = slice(2 * (32 * s + 12), 2 * (32 * s + 20))
-        np.testing.assert_allclose(a[:, center], b[:, center], atol=2e-2)
-    # Whole-frame agreement within a loose seam tolerance.
-    assert np.mean(np.abs(a - b)) < 2e-2
+    # All rows whose receptive field avoids the frame borders are exact.
+    inner = slice(2 * halo, 2 * (h - halo))
+    np.testing.assert_allclose(a[:, inner], b[:, inner], atol=1e-4)
 
 
 def test_tiled_shape_validation():
@@ -79,6 +83,53 @@ def test_exact_tiled_matches_unsharded_everywhere():
     tiled = fn(raw, cond, coord)
     np.testing.assert_allclose(np.asarray(jax.device_get(tiled)),
                                np.asarray(full), atol=1e-5)
+
+
+def test_sharded_tiled_matches_exact_and_unsharded():
+    """Memory-scalable window-sharded tiler (each device holds only its
+    window) equals the full-frame-replicated exact tiler AND the unsharded
+    forward (VERDICT r2 item #5)."""
+    from realcamnet_tpu.parallel.spatial import (
+        liteisp_rf_radius,
+        make_tiled_forward_exact,
+        make_tiled_forward_sharded,
+        tile_windows,
+    )
+
+    mesh = create_mesh(data=2, spatial=4)
+    model = LiteISPNet(ch_1=8, ch_2=16, ch_3=16, n_blocks=1, cond_c=8,
+                       use_gfm=True, use_lsc=True)
+    halo = liteisp_rf_radius(n_blocks=1)
+    band = 128
+    h, w = 4 * band, 48
+    raw = jax.random.uniform(jax.random.key(0), (1, h, w, 4))
+    cond = jax.random.uniform(jax.random.key(1), (1, 64, 64, 4))
+    coord = jax.random.uniform(jax.random.key(2), (1, h, w, 2))
+    params = model.init(jax.random.key(3), raw, cond, coord)
+
+    full = np.asarray(model.apply(params, raw, cond, coord))
+    apply_fn = lambda r, c, co: model.apply(params, r, c, co)
+    sharded = make_tiled_forward_sharded(apply_fn, mesh, halo=halo)(
+        raw, cond, coord)
+    np.testing.assert_allclose(np.asarray(jax.device_get(sharded)), full,
+                               atol=1e-5)
+    exact = make_tiled_forward_exact(apply_fn, mesh, halo=halo)(
+        raw, cond, coord)
+    np.testing.assert_allclose(np.asarray(jax.device_get(sharded)),
+                               np.asarray(jax.device_get(exact)), atol=1e-6)
+
+
+def test_tile_windows_plan():
+    from realcamnet_tpu.parallel.spatial import tile_windows
+
+    band, win, starts, offs = tile_windows(1024, 4, halo=128, align=16)
+    assert (band, win) == (256, 512)
+    assert starts == [0, 128, 384, 512]
+    assert offs == [0, 128, 128, 256]
+    # Every shard's band sits inside its window.
+    for i, (s, o) in enumerate(zip(starts, offs)):
+        assert s + o == i * band
+        assert o + band <= win
 
 
 def test_exact_tiled_joint_encoder():

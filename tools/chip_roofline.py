@@ -5,7 +5,7 @@ numbers"): measures the XLA and fused-BHCW-Pallas paths end to end, pulls
 FLOPs / bytes-accessed from XLA's own cost analysis of the compiled
 programs, and reports achieved TFLOP/s and GB/s against the v5e peaks
 (197 TFLOP/s bf16 MXU, 819 GB/s HBM) plus which roof binds. Writes
-artifacts/roofline_r02.json.
+artifacts/roofline_r03.json (override with ROOFLINE_OUT).
 
 Usage: cd /root/repo && timeout 570 python -u tools/chip_roofline.py
 (one TPU process at a time)
@@ -108,9 +108,10 @@ def main():
         100 * intrinsic["speed_of_light_ms"] / dt, 1)
 
     os.makedirs("/root/repo/artifacts", exist_ok=True)
-    with open("/root/repo/artifacts/roofline_r02.json", "w") as f:
+    path = os.environ.get("ROOFLINE_OUT", "/root/repo/artifacts/roofline_r03.json")
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    log("wrote artifacts/roofline_r02.json")
+    log(f"wrote {path}")
 
 
 if __name__ == "__main__":
