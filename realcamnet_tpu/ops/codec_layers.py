@@ -175,3 +175,61 @@ class AttentionBlock(nn.Module):
             b = ResidualUnit(self.n, self.param_dtype, name=f"b{i}")(b)
         b = Conv2d(self.n, 1, 1, 0, param_dtype=self.param_dtype, name="b3")(b)
         return a * jax.nn.sigmoid(b) + x
+
+
+class MaskedConv2d(nn.Module):
+    """Autoregressive masked conv (CompressAI `MaskedConv2d`, imported by the
+    reference at `raw2bit.py:11` though unused by any constructed model).
+
+    mask_type 'A' zeroes the center tap and everything after it in raster
+    order (first layer of a PixelCNN-style context model); 'B' keeps the
+    center. The mask is a trace-time constant multiplied into the kernel —
+    static under jit, no data-dependent control flow.
+    """
+
+    features: int
+    kernel_size: int = 5
+    mask_type: str = "A"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        import numpy as np
+
+        mask = np.ones((k, k, 1, 1), np.float32)
+        c = k // 2
+        mask[c, c + (1 if self.mask_type == "B" else 0):] = 0.0
+        mask[c + 1:] = 0.0
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.param_dtype), kernel * jnp.asarray(mask),
+            (1, 1), ((c, c), (c, c)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (y + bias).astype(x.dtype)
+
+
+class Deconv(nn.Module):
+    """Stride-2 transposed conv (CompressAI `deconv` helper, `raw2bit.py:12`):
+    upsamples H,W by `stride` with output_padding = stride - 1 semantics."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        pad = k // 2
+        y = nn.ConvTranspose(
+            self.features, (k, k), strides=(s, s),
+            padding=((k - 1 - pad, k - 1 - pad + s - 1),
+                     (k - 1 - pad, k - 1 - pad + s - 1)),
+            param_dtype=self.param_dtype, dtype=x.dtype, name="deconv")(x)
+        return y

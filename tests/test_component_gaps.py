@@ -72,3 +72,72 @@ def test_init_zoo():
     m = np.asarray(k).reshape(-1, k.shape[-1])
     gram = m.T @ m
     np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-4)
+
+
+class TestCompressAILayerGaps:
+    """r3: MaskedConv2d + deconv (CompressAI imports at `raw2bit.py:11-12`,
+    unused by constructed reference models but part of the layer contract)."""
+
+    def test_masked_conv_parity_vs_torch(self):
+        import torch
+        import torch.nn as tnn
+
+        from realcamnet_tpu.ops.codec_layers import MaskedConv2d
+
+        x = np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32)
+        for mtype in ("A", "B"):
+            m = MaskedConv2d(4, 5, mtype)
+            p = m.init(jax.random.key(0), jnp.asarray(x))
+            y = np.asarray(m.apply(p, jnp.asarray(x)))
+            tc = tnn.Conv2d(3, 4, 5, padding=2)
+            w = np.transpose(np.asarray(p["params"]["kernel"]),
+                             (3, 2, 0, 1)).copy()
+            mask = np.ones_like(w)
+            mask[:, :, 2, 2 + (1 if mtype == "B" else 0):] = 0
+            mask[:, :, 3:] = 0
+            tc.weight.data = torch.from_numpy(w * mask)
+            tc.bias.data = torch.from_numpy(
+                np.asarray(p["params"]["bias"]).copy())
+            yr = tc(torch.from_numpy(
+                np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
+            np.testing.assert_allclose(np.transpose(yr, (0, 2, 3, 1)), y,
+                                       atol=1e-6)
+
+    def test_masked_conv_is_causal(self):
+        from realcamnet_tpu.ops.codec_layers import MaskedConv2d
+
+        m = MaskedConv2d(2, 5, "A")
+        x0 = np.zeros((1, 9, 9, 2), np.float32)
+        p = m.init(jax.random.key(1), jnp.asarray(x0))
+        # Perturb the center pixel: outputs at/before it (raster order) must
+        # be unchanged for mask 'A'.
+        x1 = x0.copy()
+        x1[0, 4, 4] = 7.0
+        a = np.asarray(m.apply(p, jnp.asarray(x0)))
+        b = np.asarray(m.apply(p, jnp.asarray(x1)))
+        assert np.array_equal(a[0, :4], b[0, :4])        # rows above
+        assert np.array_equal(a[0, 4, :5], b[0, 4, :5])  # incl. center ('A')
+        assert not np.array_equal(a, b)                  # later pixels see it
+
+    def test_deconv_parity_vs_torch(self):
+        import torch
+        import torch.nn as tnn
+
+        from realcamnet_tpu.ops.codec_layers import Deconv
+
+        x = np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32)
+        d = Deconv(6, 5, 2)
+        p = d.init(jax.random.key(1), jnp.asarray(x))
+        y = np.asarray(d.apply(p, jnp.asarray(x)))
+        assert y.shape == (1, 16, 16, 6)
+        k = np.asarray(p["params"]["deconv"]["kernel"])
+        t = tnn.ConvTranspose2d(3, 6, 5, stride=2, padding=2,
+                                output_padding=1)
+        t.weight.data = torch.from_numpy(
+            np.transpose(k[::-1, ::-1], (2, 3, 0, 1)).copy())
+        t.bias.data = torch.from_numpy(
+            np.asarray(p["params"]["deconv"]["bias"]).copy())
+        yr = t(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
+        np.testing.assert_allclose(np.transpose(yr, (0, 2, 3, 1)), y,
+                                   atol=1e-5)

@@ -1,0 +1,106 @@
+"""Summarize the RD sweep artifact vs the reference's digitized curve.
+
+Reads artifacts/rd_sweep_r03.json (written by `rcn sweep --out`), checks the
+curve is monotone in the RD sense (higher lambda -> more bits, higher
+quality), verifies real-vs-estimated bpp gaps, and writes
+artifacts/rd_curve_r03.md with the comparison against BASELINE.md's
+digitized reference points — with the synthetic-data caveat stated plainly.
+
+Usage: python tools/rd_summary.py  (host-only, no chip)
+"""
+
+import json
+import os
+import sys
+
+ART = "/root/repo/artifacts/rd_sweep_r03.json"
+OUT = "/root/repo/artifacts/rd_curve_r03.md"
+
+# BASELINE.md digitized reference points (real-camera test set, ACMMM'24).
+REF = [
+    {"lmbda": 0.0025, "bpp": 0.089, "psnr": 31.2, "ms_ssim_db": 14.8, "delta_e": 6.12},
+    {"lmbda": 0.0067, "bpp": 0.147, "psnr": 32.0, "ms_ssim_db": 16.7, "delta_e": 5.84},
+    {"lmbda": 0.013, "bpp": 0.215, "psnr": 32.6, "ms_ssim_db": 18.0, "delta_e": 5.68},
+    {"lmbda": 0.05, "bpp": 0.375, "psnr": 33.0, "ms_ssim_db": 19.6, "delta_e": 5.54},
+]
+
+
+def main():
+    with open(ART) as f:
+        sweep = json.load(f)
+    pts = sorted(sweep["points"], key=lambda p: p["lmbda"])
+    rows = []
+    for p in pts:
+        e = p["eval"]
+        rows.append({
+            "lmbda": p["lmbda"],
+            "bpp_est": e["bpp"],
+            "bpp_real": e["bpp_real"],
+            "gap_pct": e["bpp_gap_pct"],
+            "gap_max_pct": e.get("bpp_gap_pct_max"),
+            "psnr": e["psnr"],
+            "ms_ssim_db": e["ms_ssim_db"],
+            "delta_e": e["delta_e"],
+            "final_train_psnr": p["curve"][-1]["psnr"],
+            "train_s": round(p["train_s"], 1),
+        })
+
+    mono_rate = all(rows[i]["bpp_real"] <= rows[i + 1]["bpp_real"]
+                    for i in range(len(rows) - 1))
+    mono_psnr = all(rows[i]["psnr"] <= rows[i + 1]["psnr"] + 0.05
+                    for i in range(len(rows) - 1))
+    gaps_ok = all(abs(r["gap_pct"]) < 5.0 for r in rows)
+
+    lines = ["# RD curve — round 3 sweep (synthetic data)", ""]
+    steps = sweep["config"]["train"]["steps"]
+    lines.append(
+        f"`raw_compression_tcm_final` (full width, 49.22M params) trained "
+        f"{steps} steps per lambda (batch "
+        f"{sweep['config']['train']['batch_size']}, packed patch "
+        f"{sweep['config']['train']['patch']}, cosine LR) on the on-device "
+        f"synthetic dataset; eval = "
+        f"{sweep['config']['data']['num_eval_images']} held-out images, "
+        f"every one real-bitstream coded through the C++ rANS coder.")
+    lines.append("")
+    lines.append("| lambda | bpp (est) | bpp (real) | gap % | PSNR | MS-SSIM dB | dE2000 |")
+    lines.append("|---|---|---|---|---|---|---|")
+    for r in rows:
+        lines.append(
+            f"| {r['lmbda']:g} | {r['bpp_est']:.4f} | {r['bpp_real']:.4f} | "
+            f"{r['gap_pct']:+.2f} | {r['psnr']:.2f} | {r['ms_ssim_db']:.2f} | "
+            f"{r['delta_e']:.2f} |")
+    lines.append("")
+    lines.append(f"- RD-monotone in rate: **{mono_rate}**; in PSNR: **{mono_psnr}**.")
+    lines.append(f"- Real bpp within 5% of the likelihood estimate on every "
+                 f"point: **{gaps_ok}** (per-image max gaps: "
+                 + ", ".join(f"{r['gap_max_pct']:+.2f}%" for r in rows) + ").")
+    lines.append("")
+    lines.append("## Reference digitized points (BASELINE.md, real-camera test set)")
+    lines.append("")
+    lines.append("| lambda | bpp | PSNR | MS-SSIM dB | dE2000 |")
+    lines.append("|---|---|---|---|---|")
+    for r in REF:
+        lines.append(f"| {r['lmbda']:g} | {r['bpp']:.3f} | {r['psnr']:.1f} | "
+                     f"{r['ms_ssim_db']:.1f} | {r['delta_e']:.2f} |")
+    lines.append("")
+    lines.append(
+        "## Honest gap statement\n\n"
+        "These curves are NOT directly comparable: the reference numbers are "
+        "measured on the paper's real-camera capture test set (never "
+        "released), while this sweep trains and evaluates on the synthetic "
+        "paired dataset (no real RAW/sRGB corpus is reachable from this "
+        "environment). What this sweep demonstrates is the *contract*: the "
+        "full training stack drives the flagship joint codec to a monotone "
+        "4-point RD curve at the reference's lambda operating points, with "
+        "real-bitstream rates matching the likelihood estimates. Plugging a "
+        "real corpus into `PairedRawDataset` reuses this exact recipe "
+        "(`rcn sweep --config ... --device-loop K`).")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    if not (mono_rate and gaps_ok):
+        print("\nWARNING: curve failed a check", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,8 @@ def main():
     bench = load("../BENCH_r03.json") or load("../BENCH_r02.json")
     roof = load("roofline_r03.json")
     ms_frame = None
-    if bench:
-        ms_frame = 1e3 / bench["value"]
+    if bench:  # driver BENCH files wrap the bench.py JSON under "parsed"
+        ms_frame = 1e3 / bench.get("parsed", bench)["value"]
     elif roof:
         ms_frame = roof["pallas_bhcw"]["ms_per_frame"]
     out["measured_4k_isp_ms_per_frame"] = ms_frame
@@ -110,9 +110,11 @@ def main():
     step_ms = None
     if sweep:
         pts = sweep.get("points") or []
-        if pts and pts[0].get("train_s") and pts[0].get("curve"):
-            steps = pts[0]["curve"][-1]["step"]
-            step_ms = pts[0]["train_s"] / max(steps, 1) * 1e3
+        # Last leg: shares the first leg's compile, so its wall time is
+        # (nearly) pure training -> the honest steady-state step cost.
+        if pts and pts[-1].get("train_s") and pts[-1].get("curve"):
+            steps = pts[-1]["curve"][-1]["step"]
+            step_ms = pts[-1]["train_s"] / max(steps, 1) * 1e3
     out["data_parallel_hosts"] = {
         "grad_mb": round(grad_bytes / 1e6, 1),
         "t_allreduce_ms": round(t_ar_ms, 1),
