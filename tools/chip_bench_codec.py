@@ -39,7 +39,7 @@ def log(msg):
 
 
 def main():
-    from realcamnet_tpu.entropy.codec import ChARMCodec, build_indexes_np
+    from realcamnet_tpu.entropy.codec import ChARMCodec
     from realcamnet_tpu.entropy import coder as rans
     from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
 
@@ -58,12 +58,16 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), raw, cond, coord)
     jax.block_until_ready(params)
 
-    # Prefer the r2 trained checkpoint for realistic symbol statistics.
-    ckpt = "/root/repo/artifacts/ckpt_rd_r02"
+    # Prefer the best-trained checkpoint for realistic symbol statistics.
     try:
         from realcamnet_tpu.train.checkpoint import latest_checkpoint, restore_params
 
-        latest = latest_checkpoint(ckpt)
+        latest = None
+        for ckpt in ("/root/repo/artifacts/ckpt_long_r03/lmbda_0.013",
+                     "/root/repo/artifacts/ckpt_rd_r02"):
+            latest = latest_checkpoint(ckpt)
+            if latest:
+                break
         if latest:
             params = restore_params(latest, params)
             log(f"restored {latest}")
@@ -141,14 +145,15 @@ def main():
     jax.block_until_ready((syms, scales))
 
     def charm_pass():
-        s2, sc2 = codec._compress_device_jit(params, y, latent_means, latent_scales)
-        return np.asarray(jax.device_get(s2)), np.asarray(jax.device_get(sc2), np.float32)
+        s2, i2 = codec._compress_device_jit(params, y, latent_means, latent_scales)
+        # uint8 table indexes come back from the device (r3 optimization).
+        return np.asarray(jax.device_get(s2)), np.asarray(jax.device_get(i2))
 
-    ms, (syms_np, scales_np) = timed(charm_pass)
+    ms, (syms_np, idx_np) = timed(charm_pass)
     results["charm_encode_device_ms"] = round(ms, 2)
     log(f"charm encode pass: {ms:.1f} ms")
 
-    idx = build_indexes_np(scales_np, codec.scale_table)
+    idx = idx_np.astype(np.int32)
     ms, y_str = timed(lambda: rans.encode_with_indexes(
         syms_np.reshape(-1), idx.reshape(-1), codec.gauss.cdfs,
         codec.gauss.cdf_lengths, codec.gauss.offsets))
