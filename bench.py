@@ -34,7 +34,7 @@ def main():
     # Packed Bayer: (H/2, W/2, 4), padded to /16 multiples.
     h, w = bh // 2, bw // 2
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
-    b = 1
+    b = int(os.environ.get("BENCH_BATCH", "1"))
     # Fused BHCW Pallas RCAB chains (ops/pallas_conv.py): avoids XLA's
     # 48->128 lane padding on the full-resolution trunk. BENCH_FUSED=0
     # benches the plain XLA path; 'sub128' fuses only lane-padded (<128ch)
