@@ -124,6 +124,16 @@ class ChARMCodec:
             return mu, idx, msup
 
         self._slice_params_idx = jax.jit(_sp_idx, static_argnames=("i",))
+
+        # Decode-side slice assembly as ONE program: rv (int16 symbols from
+        # the host coder) -> y_hat = rv + mu -> + LRP. Folding the eager adds
+        # and the slice_lrp call into a single dispatch matters on
+        # remote-dispatch backends (each eager op is a relay round trip).
+        def _asm(p, rv, mu, msup, i):
+            yh = rv.astype(jnp.float32) + mu
+            return yh + model.apply(p, msup, yh, i, method="slice_lrp")
+
+        self._assemble = jax.jit(_asm, static_argnames=("i",))
         self._slice_lrp = jax.jit(
             lambda p, ms, yh, i: model.apply(p, ms, yh, i, method="slice_lrp"),
             static_argnames=("i",))
@@ -220,10 +230,15 @@ class ChARMCodec:
             idx = np.asarray(jax.device_get(idx_dev)).astype(np.int32)
             sym = dec.decode_stream(idx.reshape(-1), self.gauss.cdfs,
                                     self.gauss.cdf_lengths, self.gauss.offsets)
-            rv = jnp.asarray(sym.reshape(idx.shape), jnp.float32)
-            y_hat_slice = rv + mu
-            lrp = self._slice_lrp(self.params, mean_support, y_hat_slice, i=i)
-            y_hat_slices.append(y_hat_slice + lrp)
+            sym = sym.reshape(idx.shape)
+            # Push int16 symbols when they fit (half the host->device bytes;
+            # trained latents are far inside the range), f32 otherwise.
+            if sym.size and abs(int(sym.max())) < 32000 and abs(int(sym.min())) < 32000:
+                rv = jnp.asarray(sym.astype(np.int16))
+            else:
+                rv = jnp.asarray(sym.astype(np.float32))
+            y_hat_slices.append(self._assemble(self.params, rv, mu,
+                                               mean_support, i=i))
         dec.close()
         return jnp.concatenate(y_hat_slices, axis=-1)
 

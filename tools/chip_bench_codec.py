@@ -77,25 +77,27 @@ def main():
     results = {"frame": size, "packed": f"{h16}x{w16}",
                "pallas_wmsa": os.environ.get("RCN_PALLAS_WMSA", "0")}
 
-    # (a) training-path forward (eval mode).
-    @jax.jit
-    def fwd(p, r, c, k):
-        out = model.apply(p, r, c, k)
-        return (out["x_hat"].astype(jnp.float32).sum()
-                + sum(jnp.log(l).sum() for l in out["likelihoods"].values()))
+    # (a) training-path forward (eval mode). SKIP_FWD=1 skips it (its 4K
+    # compile alone is ~12 min through the relay) for codec-only reruns.
+    if os.environ.get("SKIP_FWD", "0") != "1":
+        @jax.jit
+        def fwd(p, r, c, k):
+            out = model.apply(p, r, c, k)
+            return (out["x_hat"].astype(jnp.float32).sum()
+                    + sum(jnp.log(l).sum() for l in out["likelihoods"].values()))
 
-    log("compile forward")
-    s = fwd(params, raw, cond, coord)
-    _ = float(s)
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        log("compile forward")
         s = fwd(params, raw, cond, coord)
-    _ = float(s)
-    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
-    results["forward_ms"] = round(fwd_ms, 2)
-    results["forward_fps"] = round(1e3 / fwd_ms, 3)
-    log(f"forward: {fwd_ms:.1f} ms ({1e3/fwd_ms:.2f} fps)")
+        _ = float(s)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = fwd(params, raw, cond, coord)
+        _ = float(s)
+        fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+        results["forward_ms"] = round(fwd_ms, 2)
+        results["forward_fps"] = round(1e3 / fwd_ms, 3)
+        log(f"forward: {fwd_ms:.1f} ms ({1e3/fwd_ms:.2f} fps)")
 
     # (b) compress, with breakdown.
     codec = ChARMCodec(model, params)
