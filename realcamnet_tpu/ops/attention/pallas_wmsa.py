@@ -137,25 +137,60 @@ window_attention.defvjp(_wa_fwd, _wa_bwd)
 
 def _window_attention_fwd_impl(q, k, v, bias, seam, scale, win_blk, interpret):
     g, heads, p2, hd = q.shape
+    if g % 8:
+        # Mosaic requires the windows-block sublane extent to be a multiple
+        # of 8 (the flags operand is (blk, 2)); pad with dummy windows and
+        # crop the result. Softmax over the zero pads is well-defined
+        # (uniform), and their outputs are discarded.
+        g8 = -(-g // 8) * 8
+        pad = [(0, g8 - g)] + [(0, 0)] * 3
+        out = _window_attention_fwd_impl(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), bias,
+            None if seam is None else (
+                seam[0], seam[1], jnp.pad(seam[2], ((0, g8 - g), (0, 0)))),
+            scale, win_blk, interpret)
+        return out[:g]
     blk = min(win_blk, g)
-    while g % blk:
+    while g % blk or blk % 8:
         blk -= 1
-    grid = (g // blk,)
+    blk = max(blk, 1)
+    if g % blk:  # tiny g (< 8 windows handled by the pad branch above)
+        blk = g
 
-    qkv_spec = pl.BlockSpec((blk, heads, p2, hd), lambda i: (i, 0, 0, 0),
+    # Kernel stack budget, LANE-PADDING AWARE: VMEM tiles pad the last dim
+    # to 128 lanes, so a (blk, hb, p2, hd=8) block really costs
+    # blk*hb*p2*128 floats — q/k/v/out at 16x their logical size. With many
+    # heads per block (the joint codec's stage-1: 8160 windows x 8 heads of
+    # hd=8) that overflows the ~16 MB scoped-vmem limit; split heads across
+    # the grid until the estimate fits.
+    lane = lambda d: -(-d // 128) * 128
+
+    def stack_est(hb):
+        qkv = 4 * blk * hb * p2 * lane(hd) * 4          # q, k, v, out blocks
+        sim = 3 * blk * hb * p2 * lane(p2) * 4          # sim + exp + weighted
+        return qkv + sim + hb * p2 * lane(p2) * 4       # + bias block
+
+    hb = heads
+    while hb > 1 and stack_est(hb) > 8 * 2 ** 20:
+        hb -= 1
+    while heads % hb:
+        hb -= 1
+    grid = (g // blk, heads // hb)
+
+    qkv_spec = pl.BlockSpec((blk, hb, p2, hd), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    pat_spec = pl.BlockSpec((p2, p2), lambda i: (0, 0),
+    pat_spec = pl.BlockSpec((p2, p2), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
         qkv_spec, qkv_spec, qkv_spec,
-        pl.BlockSpec((heads, p2, p2), lambda i: (0, 0, 0),
+        pl.BlockSpec((hb, p2, p2), lambda i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [q, k, v, bias]
     if seam is not None:
         row_pat, col_pat, flags = seam
         in_specs += [pat_spec, pat_spec,
-                     pl.BlockSpec((blk, 2), lambda i: (i, 0),
+                     pl.BlockSpec((blk, 2), lambda i, j: (i, 0),
                                   memory_space=pltpu.VMEM)]
         operands += [row_pat, col_pat, flags]
     return pl.pallas_call(

@@ -51,3 +51,18 @@ def test_global_switch_routes_models_through_pallas():
         pal = mod.apply(params, x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pal),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_pallas_nondiv8_window_count(shifted):
+    """Window counts not divisible by 8 hit the pad branch (Mosaic requires
+    8-multiple sublane blocks for the seam-flag operand; found on chip at
+    the codec's 510-window shape)."""
+    dim, hd, win = 16, 8, 8
+    ref_mod = WMSA(dim, hd, win, shifted=shifted, use_pallas=False)
+    pal_mod = WMSA(dim, hd, win, shifted=shifted, use_pallas=True)
+    x = jax.random.normal(jax.random.key(5), (1, 24, 40, dim))  # 15 windows
+    params = ref_mod.init(jax.random.key(6), x)
+    a = ref_mod.apply(params, x)
+    b = pal_mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
