@@ -1,9 +1,15 @@
-"""Benchmark harness: flagship ISP 4K RAW->sRGB throughput on one chip.
+"""Benchmark harness: flagship ISP + joint codec 4K throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The north-star metric is RAW frames/sec/chip at 4K (BASELINE.json); the
-reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-null. Override the frame size with BENCH_SIZE=HxW (Bayer mosaic size).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "codec"}.
+The headline metric is the flagship ISP RAW->sRGB frames/sec/chip at 4K; the
+"codec" sub-object covers the full RAW->bitstream->sRGB pipeline the
+north-star describes (`raw_compression_tcm_final`, reference
+`raw2bit.py:1614-2027`): eval-forward fps plus compress()/decompress() wall
+times through the real C++ rANS bitstream. The reference publishes no
+throughput numbers (BASELINE.md), so vs_baseline is null.
+
+Env: BENCH_SIZE=HxW (Bayer mosaic size), BENCH_CODEC=0 to skip the codec leg
+(its 4K compiles take ~15 min through remote-dispatch backends).
 """
 
 import json
@@ -78,12 +84,88 @@ def main():
     fps = iters * b / dt
     log(f"{fps:.2f} fps ({dt / iters * 1000:.2f} ms/frame)")
 
-    print(json.dumps({
+    line = {
         "metric": f"liteisp_gfm_lsc_raw{bh}x{bw}_fps",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
-    }))
+    }
+    if os.environ.get("BENCH_CODEC", "1") != "0":
+        try:
+            line["codec"] = bench_codec(bh, bw, h16, w16)
+        except Exception as e:  # codec leg must not kill the headline line
+            line["codec"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(line))
+
+
+def bench_codec(bh, bw, h16, w16):
+    """Joint codec leg: forward fps + compress/decompress wall at 4K."""
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+    from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
+
+    model = raw_compression_tcm_final()
+    raw = jnp.full((1, h16, w16, 4), 0.5, jnp.float32)
+    cond = raw
+    coord = jnp.zeros((1, h16, w16, 2), jnp.float32)
+    log(f"codec: jit init (packed {h16}x{w16})")
+    params = jax.jit(model.init)(jax.random.key(0), raw, cond, coord)
+    jax.block_until_ready(params)
+    # Trained checkpoint (if present) for realistic symbol statistics.
+    try:
+        from realcamnet_tpu.train.checkpoint import (latest_checkpoint,
+                                                     restore_params)
+        for d in ("artifacts/ckpt_sweep12k_r03/lmbda_0.013",
+                  "artifacts/ckpt_long_r03/lmbda_0.013"):
+            latest = latest_checkpoint(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), d))
+            if latest:
+                params = restore_params(latest, params)
+                log(f"codec: restored {latest}")
+                break
+    except Exception as e:
+        log(f"codec: checkpoint restore skipped: {e}")
+
+    @jax.jit
+    def fwd(p, r, c, k):
+        out = model.apply(p, r, c, k)
+        return (out["x_hat"].astype(jnp.float32).sum()
+                + sum(jnp.log(l).sum() for l in out["likelihoods"].values()))
+
+    log("codec: compiling forward")
+    _ = float(fwd(params, raw, cond, coord))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fwd(params, raw, cond, coord)
+    _ = float(s)
+    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+    log(f"codec forward: {fwd_ms:.1f} ms")
+
+    codec = ChARMCodec(model, params)
+    codec.update()
+    log("codec: compiling compress/decompress")
+    out = codec.compress(raw, cond, coord)
+    jax.block_until_ready(codec.decompress(out["strings"], out["shape"])["x_hat"])
+
+    def wall(fn, n=3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        return (time.perf_counter() - t0) / n * 1e3, r
+
+    comp_ms, out = wall(lambda: codec.compress(raw, cond, coord))
+    dec_ms, _ = wall(lambda: jax.block_until_ready(
+        codec.decompress(out["strings"], out["shape"])["x_hat"]))
+    nbytes = sum(len(s[0]) for s in out["strings"])
+    log(f"codec compress: {comp_ms:.1f} ms, decompress: {dec_ms:.1f} ms")
+    return {
+        "model": "raw_compression_tcm_final",
+        "forward_ms": round(fwd_ms, 2),
+        "forward_fps": round(1e3 / fwd_ms, 3),
+        "compress_ms": round(comp_ms, 2),
+        "decompress_ms": round(dec_ms, 2),
+        "bpp_real": round(nbytes * 8.0 / (bh * bw), 5),
+    }
 
 
 if __name__ == "__main__":

@@ -186,7 +186,7 @@ def cmd_train(args):
             rate = step * args.batch_size / (time.time() - t0)
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"[train] step {step} {msg} ({rate:.2f} img/s)", flush=True)
-            if args.ckpt_dir and (ci + 1) * chunk % max(args.ckpt_every, chunk) == 0:
+            if args.ckpt_dir and (ci + 1) % max(args.ckpt_every // chunk, 1) == 0:
                 print(f"[train] saved {save_checkpoint(args.ckpt_dir, state)}")
     else:
         for i, batch in enumerate(batches()):
@@ -491,7 +491,10 @@ def _sweep_device_loop(cfg, chunk, eval_data):
         ev = dict(acc)
         for k in per_img[0]:
             vals = np.array([p[k] for p in per_img], np.float64)
-            ev[k if k not in ev else k] = float(vals.mean())
+            # Real-bitstream means override the forward-eval means for
+            # shared keys (psnr, delta_e): the coded-path numbers are the
+            # ones the RD table reports (matches eval_real_bitstream_set).
+            ev[k] = float(vals.mean())
             if k == "bpp_gap_pct":
                 ev["bpp_gap_pct_std"] = float(vals.std())
                 ev["bpp_gap_pct_max"] = float(vals.max())

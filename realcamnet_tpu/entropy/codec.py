@@ -103,6 +103,12 @@ class ChARMCodec:
         self.params = params
         self.num_slices = num_slices if num_slices is not None else model.num_slices
         self.scale_table = get_scale_table()
+        # Device-side rANS indexes travel as uint8 (compress_y /
+        # _slice_params_idx): a >256-level table would wrap silently and
+        # corrupt the bitstream, so fail loudly here.
+        assert len(self.scale_table) <= 256, (
+            f"scale table has {len(self.scale_table)} levels; uint8 index "
+            "transfer supports at most 256")
         self.gauss: Optional[CdfTables] = None
         self.fact: Optional[CdfTables] = None
         # All device work is jitted (eager flax apply dispatches op-by-op,

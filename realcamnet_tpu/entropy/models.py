@@ -174,12 +174,15 @@ class EntropyBottleneck(nn.Module):
         sign = -jnp.sign(lower + upper)
         pmf = jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
         pmf = pmf[:, 0, :]
-        lower0 = self._logits_cumulative(v[:, :, :1] - 0.5, stop_gradient=True)
-        upperN = self._logits_cumulative(
-            (medians[:, None, None] + maxima[:, None, None].astype(jnp.float32)) + 0.5,
-            stop_gradient=True,
-        )
-        tail = jax.nn.sigmoid(lower0[:, 0, 0]) + jax.nn.sigmoid(-upperN[:, 0, 0])
+        # Tail mass, CompressAI-exact: lower tail at each channel's first
+        # sample, upper tail at the SHARED last sample index
+        # max(pmf_length) - 1 (compressai EntropyBottleneck.update sizes its
+        # grid by pmf_length.max() and reads `upper[:, 0, -1:]`). Matching
+        # this keeps quantized CDF tables — and therefore bitstreams —
+        # byte-identical to CompressAI for imported checkpoints.
+        last = jnp.clip(jnp.max(pmf_length) - 1, 0, L - 1)
+        upper_last = jnp.take(upper[:, 0, :], last, axis=1)
+        tail = jax.nn.sigmoid(lower[:, 0, 0]) + jax.nn.sigmoid(-upper_last)
         return pmf, tail, -minima, pmf_length
 
 

@@ -150,12 +150,10 @@ def _window_attention_fwd_impl(q, k, v, bias, seam, scale, win_blk, interpret):
                 seam[0], seam[1], jnp.pad(seam[2], ((0, g8 - g), (0, 0)))),
             scale, win_blk, interpret)
         return out[:g]
-    blk = min(win_blk, g)
-    while g % blk or blk % 8:
-        blk -= 1
-    blk = max(blk, 1)
-    if g % blk:  # tiny g (< 8 windows handled by the pad branch above)
-        blk = g
+    # Largest multiple-of-8 divisor of g that is <= win_blk (g % 8 == 0 here:
+    # smaller g took the pad branch above, so blk=8 always qualifies).
+    blk = next(b for b in range(min(win_blk, g), 7, -1)
+               if g % b == 0 and b % 8 == 0)
 
     # Kernel stack budget, LANE-PADDING AWARE: VMEM tiles pad the last dim
     # to 128 lanes, so a (blk, hb, p2, hd=8) block really costs

@@ -207,23 +207,112 @@ class MaskedConv2d(nn.Conv2d):
 
 
 class EntropyBottleneck(nn.Module):
-    """Minimal: quantiles parameter + `_get_medians`; forward returns the
-    input and dummy likelihoods (the reference forward computes z_hat itself
-    via ste_round and only reads medians)."""
+    """Full CompressAI factorized prior (Balle 2018): per-channel monotone
+    MLP density `_matrixK/_biasK/_factorK` + quantiles, real bin likelihoods,
+    and the `update()` pmf-table machinery — an external oracle for
+    realcamnet_tpu/entropy/models.py:EntropyBottleneck (VERDICT r3 weak #8).
+    Semantics follow compressai/entropy_models/entropy_models.py."""
 
-    def __init__(self, channels, init_scale=10.0, filters=(3, 3, 3, 3)):
+    def __init__(self, channels, init_scale=10.0, filters=(3, 3, 3, 3),
+                 tail_mass=1e-9):
         super().__init__()
         self.channels = channels
-        init = torch.tensor([-init_scale, 0.0, init_scale])
+        self.filters = tuple(filters)
+        self.init_scale = float(init_scale)
+        self.tail_mass = float(tail_mass)
+        dims = (1,) + self.filters + (1,)
+        scale = self.init_scale ** (1.0 / (len(self.filters) + 1))
+        for i in range(len(self.filters) + 1):
+            init = math.log(math.expm1(1.0 / scale / dims[i + 1]))
+            matrix = torch.full((channels, dims[i + 1], dims[i]), init)
+            self.register_parameter(f"_matrix{i}", nn.Parameter(matrix))
+            bias = torch.empty(channels, dims[i + 1], 1).uniform_(-0.5, 0.5)
+            self.register_parameter(f"_bias{i}", nn.Parameter(bias))
+            if i < len(self.filters):
+                factor = torch.zeros(channels, dims[i + 1], 1)
+                self.register_parameter(f"_factor{i}", nn.Parameter(factor))
+        init = torch.tensor([-self.init_scale, 0.0, self.init_scale])
         self.quantiles = nn.Parameter(init.repeat(channels, 1, 1))
 
     def _get_medians(self):
-        return self.quantiles[:, :, 1:2].detach().reshape(1, -1, 1, 1)
+        return self.quantiles[:, :, 1:2].detach()
 
-    def forward(self, x):
-        medians = self._get_medians().to(x.dtype)
-        x_hat = torch.round(x - medians) + medians
-        return x_hat, torch.ones_like(x) * 0.5
+    def _logits_cumulative(self, inputs, stop_gradient):
+        logits = inputs
+        for i in range(len(self.filters) + 1):
+            matrix = getattr(self, f"_matrix{i}")
+            bias = getattr(self, f"_bias{i}")
+            if stop_gradient:
+                matrix = matrix.detach()
+                bias = bias.detach()
+            logits = torch.matmul(F.softplus(matrix), logits) + bias
+            if i < len(self.filters):
+                factor = getattr(self, f"_factor{i}")
+                if stop_gradient:
+                    factor = factor.detach()
+                logits = logits + torch.tanh(factor) * torch.tanh(logits)
+        return logits
+
+    def _likelihood(self, inputs):
+        lower = self._logits_cumulative(inputs - 0.5, stop_gradient=False)
+        upper = self._logits_cumulative(inputs + 0.5, stop_gradient=False)
+        sign = -torch.sign(lower + upper).detach()
+        return torch.abs(torch.sigmoid(sign * upper)
+                         - torch.sigmoid(sign * lower))
+
+    def forward(self, x, training=None):
+        """x: (B, C, H, W) -> (x_hat, likelihoods). Eval path: hard round to
+        medians (training noise path not needed by the oracle)."""
+        if training is None:
+            training = self.training
+        b, c, h, w = x.shape
+        values = x.permute(1, 0, 2, 3).reshape(c, 1, -1)
+        medians = self._get_medians()
+        if training:
+            values = values + torch.empty_like(values).uniform_(-0.5, 0.5)
+        else:
+            values = torch.round(values - medians) + medians
+        likelihood = self._likelihood(values)
+        likelihood = torch.clamp(likelihood, min=1e-9)
+        x_hat = values.reshape(c, b, h, w).permute(1, 0, 2, 3)
+        likelihood = likelihood.reshape(c, b, h, w).permute(1, 0, 2, 3)
+        return x_hat, likelihood
+
+    def aux_loss(self):
+        logits = self._logits_cumulative(self.quantiles, stop_gradient=True)
+        t = math.log(2.0 / self.tail_mass - 1.0)
+        target = torch.tensor([-t, 0.0, t]).reshape(1, 1, 3)
+        return torch.abs(logits - target).sum()
+
+    def pmf_params(self, max_length=256):
+        """(pmf, tail_mass, offsets, pmf_length) — CompressAI `update()`
+        semantics. NOTE CompressAI evaluates the upper tail at the LAST
+        padded sample (`upper[:, 0, -1:]`), i.e. at median - minima +
+        max_length - 0.5, not at each channel's own maxima; this oracle
+        reproduces that, so per-channel tails only match our JAX model's
+        (per-channel-exact) tail when pmf_length == max(pmf_length)."""
+        with torch.no_grad():
+            medians = self.quantiles[:, 0, 1]
+            minima = torch.clamp(torch.ceil(medians - self.quantiles[:, 0, 0]),
+                                 min=0).int()
+            maxima = torch.clamp(torch.ceil(self.quantiles[:, 0, 2] - medians),
+                                 min=0).int()
+            pmf_length = maxima + minima + 1
+            pmf_start = medians - minima
+            # CompressAI sizes the sample grid by the LARGEST per-channel
+            # pmf (max_length = pmf_length.max()); the caller's max_length
+            # only caps the returned pmf width.
+            max_length = min(max_length, int(pmf_length.max().item()))
+            samples = torch.arange(max_length, dtype=torch.float32)
+            samples = samples[None, :] + pmf_start[:, None, None]
+            lower = self._logits_cumulative(samples - 0.5, stop_gradient=True)
+            upper = self._logits_cumulative(samples + 0.5, stop_gradient=True)
+            sign = -torch.sign(lower + upper)
+            pmf = torch.abs(torch.sigmoid(sign * upper)
+                            - torch.sigmoid(sign * lower))[:, 0, :]
+            tail = (torch.sigmoid(lower[:, 0, 0])
+                    + torch.sigmoid(-upper[:, 0, -1]))
+        return pmf, tail, -minima, pmf_length
 
 
 class GaussianConditional(nn.Module):
