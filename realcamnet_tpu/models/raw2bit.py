@@ -96,11 +96,48 @@ class ConvTransBlockMzj(nn.Module):
     drop_path_rate: float = 0.0
     shifted: bool = False
     param_dtype: Dtype = jnp.float32
+    fused: bool = False  # BHCW Pallas conv half (ops/pallas_conv.py)
 
     @nn.compact
     def __call__(self, x, cond, train: bool = False):
         pd = self.param_dtype
         total = self.conv_dim + self.trans_dim
+        if self.fused and not self.is_initializing():
+            # Conv half (RBWithCA + SFT, all N=64 3x3 convs) as chained
+            # BHCW Pallas convs — XLA lane-pads 64 -> 128 otherwise. The
+            # split/merge 1x1s move the half into/out of BHCW via einsum
+            # (no separate transpose pass); params identical to the plain
+            # path (init traces it below).
+            from realcamnet_tpu.ops.pallas_conv import (
+                fused_residual_block_ca_bhcw, fused_sft_bhcw,
+                merge_1x1_from_bhcw, split_1x1_to_bhcw)
+
+            v = self.variables["params"]
+            conv_x, trans_x = split_1x1_to_bhcw(
+                x, v["conv1_1"]["conv"]["kernel"][0, 0],
+                v["conv1_1"]["conv"]["bias"], self.conv_dim)
+            cond_b = jnp.transpose(cond, (0, 1, 3, 2)).astype(conv_x.dtype)
+            wd = conv_x.shape[3]
+            wp = -(-wd // 128) * 128
+            wv = wd if wp != wd else None
+            if wp != wd:
+                pad = ((0, 0), (0, 0), (0, 0), (0, wp - wd))
+                conv_x = jnp.pad(conv_x, pad)
+                cond_b = jnp.pad(cond_b, pad)
+            h1 = fused_residual_block_ca_bhcw(
+                v["conv_block"], conv_x, hw=x.shape[1] * wd, w_valid=wv)
+            cx = fused_sft_bhcw(v["sft"], h1, cond_b, residual=True,
+                                w_valid=wv) + conv_x
+            if wp != wd:
+                cx = cx[..., :wd]
+            trans_x = SwinTransformerBlock(
+                self.trans_dim, self.head_dim, self.window_size,
+                self.shifted, self.drop_path_rate, pd,
+                name="trans_block")(trans_x, train=train)
+            res = merge_1x1_from_bhcw(cx, trans_x,
+                                      v["conv1_2"]["conv"]["kernel"][0, 0],
+                                      v["conv1_2"]["conv"]["bias"])
+            return x + res
         h = Conv2d(total, 1, 1, 0, param_dtype=pd, name="conv1_1")(x)
         conv_x, trans_x = jnp.split(h, [self.conv_dim], axis=-1)
         conv_id = conv_x
@@ -190,6 +227,9 @@ class RawCompression(nn.Module):
     stem: str = "conv_first"      # 'conv_first' | 'stride2'
     entropy_atten: str = "swin"   # 'swin' | 'gma' (reference `GMAAtten`)
     param_dtype: Dtype = jnp.float32
+    # Perf knobs (outputs stay f32 where entropy math needs it):
+    fused_conv: bool = False      # BHCW Pallas conv halves in hybrid blocks
+    compute_dtype: Optional[Dtype] = None  # e.g. jnp.bfloat16 transforms
 
     @property
     def window_size(self):
@@ -226,10 +266,12 @@ class RawCompression(nn.Module):
                 if self.encoder_block == "cimc":
                     out.append(ConvTransBlockMzj(N, N, head_dim, 8, dpr[i],
                                                  bool(i % 2), pd,
+                                                 fused=self.fused_conv,
                                                  name=f"{prefix}_{i}"))
                 elif self.encoder_block == "swin":
                     out.append(ConvTransBlock(N, N, head_dim, 8, dpr[i],
                                               bool(i % 2), pd,
+                                              fused=self.fused_conv,
                                               name=f"{prefix}_{i}"))
                 elif self.encoder_block == "gma":
                     # GMA trans half must divide by 5 segments; mirror the
@@ -255,6 +297,7 @@ class RawCompression(nn.Module):
                 if self.decoder_block == "swin":
                     out.append(ConvTransBlock(dim // 2, dim // 2, head_dim, 8,
                                               dpr[i], bool(i % 2), pd,
+                                              fused=self.fused_conv,
                                               name=f"{prefix}_{i}"))
                 elif self.decoder_block == "conv":
                     out.append(ResidualBlock(dim, pd, name=f"{prefix}_{i}"))
@@ -316,8 +359,16 @@ class RawCompression(nn.Module):
 
     # ---- transforms ----
 
+    def _cd(self, x):
+        """Cast into the compute dtype (bf16 transforms; entropy-critical
+        outputs are cast back to f32 at the producing method's exit)."""
+        if x is None or self.compute_dtype is None:
+            return x
+        return x.astype(self.compute_dtype)
+
     def encode_with_aux(self, raw, cond=None, coord=None, train: bool = False):
         """Analysis pass. Returns (y, aux) with aux = {lft, lsc} extras."""
+        raw, cond, coord = self._cd(raw), self._cd(cond), self._cd(coord)
         aux = {}
         vec = None
         if self.use_gft:
@@ -363,7 +414,7 @@ class RawCompression(nn.Module):
         return y, self.h_a(y)
 
     def g_s(self, y_hat, train: bool = False):
-        h = self.gs_stem(y_hat)
+        h = self.gs_stem(self._cd(y_hat))
         for b in self.m_up1:
             h = b(h, train=train) if isinstance(b, ConvTransBlock) else b(h)
         h = self.up1(h)
@@ -376,15 +427,17 @@ class RawCompression(nn.Module):
             h = b(h, train=train) if isinstance(b, ConvTransBlock) else b(h)
         h = self.up3(h)
         h = self.tail_block(h)
-        return self.tail_out(h)
+        # f32 output: sRGB metrics (PSNR ~37 dB) sit near bf16 resolution.
+        return self.tail_out(h).astype(jnp.float32)
 
     def h_a(self, y, train: bool = False):
-        h = self.ha_stem(y)
+        h = self.ha_stem(self._cd(y))
         for b in self.ha_blocks:
             h = b(h, train=train) if isinstance(b, ConvTransBlock) else b(h)
         return self.ha_out(h)
 
     def h_synth(self, z_hat, train: bool = False):
+        z_hat = self._cd(z_hat)
         hm = self.hms_stem(z_hat)
         for b in self.hms_blocks:
             hm = b(hm, train=train) if isinstance(b, ConvTransBlock) else b(hm)

@@ -48,11 +48,42 @@ class ConvTransBlock(nn.Module):
     drop_path_rate: float = 0.0
     shifted: bool = False
     param_dtype: Dtype = jnp.float32
+    fused: bool = False  # BHCW Pallas conv half (ops/pallas_conv.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pd = self.param_dtype
         total = self.conv_dim + self.trans_dim
+        if self.fused and not self.is_initializing():
+            # Conv half in the channel-sublane BHCW layout: the N=64 convs
+            # lane-pad to 128 under XLA (2x traffic/MXU waste); the split
+            # 1x1s write/read the half directly in BHCW via einsum. Params
+            # are identical to the plain path (init traces it below).
+            from realcamnet_tpu.ops.pallas_conv import (
+                fused_residual_block_bhcw, merge_1x1_from_bhcw,
+                split_1x1_to_bhcw)
+
+            v = self.variables["params"]
+            conv_x, trans_x = split_1x1_to_bhcw(
+                x, v["conv1_1"]["conv"]["kernel"][0, 0],
+                v["conv1_1"]["conv"]["bias"], self.conv_dim)
+            wd = conv_x.shape[3]
+            wp = -(-wd // 128) * 128
+            wv = wd if wp != wd else None
+            if wp != wd:
+                conv_x = jnp.pad(conv_x, ((0, 0), (0, 0), (0, 0), (0, wp - wd)))
+            cx = fused_residual_block_bhcw(v["conv_block"], conv_x,
+                                           w_valid=wv) + conv_x
+            if wp != wd:
+                cx = cx[..., :wd]
+            trans_x = SwinTransformerBlock(
+                self.trans_dim, self.head_dim, self.window_size, self.shifted,
+                self.drop_path_rate, pd, name="trans_block")(trans_x,
+                                                             train=train)
+            res = merge_1x1_from_bhcw(cx, trans_x,
+                                      v["conv1_2"]["conv"]["kernel"][0, 0],
+                                      v["conv1_2"]["conv"]["bias"])
+            return x + res
         h = Conv2d(total, 1, 1, 0, param_dtype=pd, name="conv1_1")(x)
         conv_x, trans_x = jnp.split(h, [self.conv_dim], axis=-1)
         conv_x = ResidualBlock(self.conv_dim, param_dtype=pd, name="conv_block")(conv_x) + conv_x

@@ -96,8 +96,8 @@ def _shift_cols(v, direction, w):
 
 
 def _conv_kernel(x_hbm, res_hbm, add_hbm, w_ref, b_ref, gate_ref, *refs,
-                 cin, cout, th, h, w, rg, halo, fold, relu, add,
-                 emit_xin, emit_sums, out_dtype, w_valid):
+                 cin, cout, th, h, w, rg, halo, fold, relu, lrelu, add,
+                 add_post, emit_xin, emit_sums, out_dtype, w_valid):
     it = iter(refs)
     out_ref = next(it)
     xin_ref = next(it) if emit_xin else None
@@ -173,11 +173,18 @@ def _conv_kernel(x_hbm, res_hbm, add_hbm, w_ref, b_ref, gate_ref, *refs,
                 d = _shift_cols(d, 1 - dj, w)
             acc = d if acc is None else acc + d
         acc = acc + b_ref[:].astype(jnp.float32)
-        if add:
+        if add and not add_post:
             acc = acc + ads[slot, g * rg * cout:(g + 1) * rg * cout,
                             :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        elif lrelu is not None:
+            acc = jnp.where(acc >= 0, acc, lrelu * acc)
+        if add and add_post:
+            # Post-activation residual add (CompressAI ResidualBlock order:
+            # lrelu(conv2(.)) + identity, `tcm.py` / compressai layers).
+            acc = acc + ads[slot, g * rg * cout:(g + 1) * rg * cout,
+                            :].astype(jnp.float32)
         if w_valid is not None and w_valid < w:
             # W was padded to a 128 multiple: zero the pad lanes so the
             # channel sums and downstream folds stay exact.
@@ -208,15 +215,18 @@ def _conv_kernel(x_hbm, res_hbm, add_hbm, w_ref, b_ref, gate_ref, *refs,
 
 
 def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
-                 add=None, emit_xin=False, emit_sums=False,
-                 rg=None, tile_h: int = 16, interpret: bool = False,
-                 w_valid=None):
+                 lrelu=None, add=None, add_post=False, emit_xin=False,
+                 emit_sums=False, rg=None, tile_h: int = 16,
+                 interpret: bool = False, w_valid=None):
     """3x3 stride-1 same-padding conv on (B, H, C, W) activations.
 
     x: (B, H, Cin, W); w: (3, 3, Cin, Cout) HWIO; bias: (Cout,).
     res_prev (B, H, Cin, W) + gate (B, Cin): prologue
     xin = x + res_prev*gate, convolved instead of x.
-    add (B, H, Cout, W): added to the conv output (pre-relu).
+    relu / lrelu=alpha: epilogue activation (mutually exclusive).
+    add (B, H, Cout, W): added to the conv output — pre-activation by
+    default, post-activation with add_post=True (CompressAI ResidualBlock
+    order: lrelu(conv(.)) + identity).
     Returns out (B, H, Cout, W) [, xin] [, sums (B, Cout) f32].
 
     Requires Cin % 8 == 0 and Cout % 8 == 0 (pad channels outside) and
@@ -232,7 +242,8 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
 
     def fallback():
         return _bhcw_ref_conv(x, w, bias, res_prev=res_prev, gate=gate,
-                              relu=relu, add=add, emit_xin=emit_xin,
+                              relu=relu, lrelu=lrelu, add=add,
+                              add_post=add_post, emit_xin=emit_xin,
                               emit_sums=emit_sums)
 
     if cin % 8 or cout % 8:
@@ -253,9 +264,9 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
             res_prev=pc(res_prev, cin_p),
             gate=None if gate is None else jnp.pad(
                 gate, ((0, 0), (0, cin_p - cin))),
-            relu=relu, add=pc(add, cout_p), emit_xin=emit_xin,
-            emit_sums=emit_sums, rg=rg, tile_h=tile_h, interpret=interpret,
-            w_valid=w_valid)
+            relu=relu, lrelu=lrelu, add=pc(add, cout_p), add_post=add_post,
+            emit_xin=emit_xin, emit_sums=emit_sums, rg=rg, tile_h=tile_h,
+            interpret=interpret, w_valid=w_valid)
         outs = list(outs) if isinstance(outs, tuple) else [outs]
         result = [outs.pop(0)[:, :, :cout, :]]
         if emit_xin:
@@ -276,8 +287,9 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
 
         outs = conv3x3_bhcw(
             pad(x), w, bias, res_prev=pad(res_prev), gate=gate, relu=relu,
-            add=pad(add), emit_xin=emit_xin, emit_sums=emit_sums, rg=rg,
-            tile_h=tile_h, interpret=interpret, w_valid=wd)
+            lrelu=lrelu, add=pad(add), add_post=add_post, emit_xin=emit_xin,
+            emit_sums=emit_sums, rg=rg, tile_h=tile_h, interpret=interpret,
+            w_valid=wd)
         if not isinstance(outs, tuple):
             return outs[..., :wd]
         return tuple(o[..., :wd] if o.ndim == 4 else o for o in outs)
@@ -339,8 +351,9 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
 
     kernel = functools.partial(
         _conv_kernel, cin=cin, cout=cout, th=th, h=h, w=wd, rg=rg, halo=halo,
-        fold=fold, relu=relu, add=do_add, emit_xin=emit_xin,
-        emit_sums=emit_sums, out_dtype=wdt, w_valid=w_valid)
+        fold=fold, relu=relu, lrelu=lrelu, add=do_add, add_post=add_post,
+        emit_xin=emit_xin, emit_sums=emit_sums, out_dtype=wdt,
+        w_valid=w_valid)
 
     span = (th + 2 * halo) * cin
     out_specs = [pl.BlockSpec((1, th * cout, wd), lambda b, i: (b, i, 0),
@@ -419,33 +432,38 @@ def _wgrad(xin, g_pre):
     return jnp.stack(taps, 0)  # (3,3,Cin,Cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def conv_op(x, w, bias, res_prev, gate, add,
             relu: bool, emit_xin: bool, emit_sums: bool,
-            tile_h: int, interpret: bool, w_valid):
-    """Differentiable fused BHCW conv3x3 (prologue fold + relu/add epilogue +
-    xin/sums emits). Forward runs the Pallas kernel; backward uses SAVED
-    forward results (no forward re-run — VERDICT r2 weak #5) with dgrad
-    through the same Pallas kernel (flipped taps) and a small XLA wgrad."""
+            tile_h: int, interpret: bool, w_valid,
+            lrelu=None, add_post: bool = False):
+    """Differentiable fused BHCW conv3x3 (prologue fold + relu/lrelu +
+    pre/post add epilogue + xin/sums emits). Forward runs the Pallas kernel;
+    backward uses SAVED forward results (no forward re-run — VERDICT r2 weak
+    #5) with dgrad through the same Pallas kernel (flipped taps) and a small
+    XLA wgrad."""
     return conv3x3_bhcw(x, w, bias, res_prev=res_prev, gate=gate, relu=relu,
-                        add=add, emit_xin=emit_xin, emit_sums=emit_sums,
+                        lrelu=lrelu, add=add, add_post=add_post,
+                        emit_xin=emit_xin, emit_sums=emit_sums,
                         tile_h=tile_h, interpret=interpret, w_valid=w_valid)
 
 
 def _conv_op_fwd(x, w, bias, res_prev, gate, add, relu, emit_xin, emit_sums,
-                 tile_h, interpret, w_valid):
+                 tile_h, interpret, w_valid, lrelu=None, add_post=False):
     outs = conv_op(x, w, bias, res_prev, gate, add, relu, emit_xin,
-                   emit_sums, tile_h, interpret, w_valid)
+                   emit_sums, tile_h, interpret, w_valid, lrelu, add_post)
     seq = outs if isinstance(outs, tuple) else (outs,)
     out = seq[0]
     xin = seq[1] if emit_xin else None
     # Residuals: conv input (for wgrad), weights (dgrad), fold operands,
-    # post-activation output (relu mask). No activations recomputed in bwd.
-    return outs, (x, w, res_prev, gate, add, xin, out if relu else None)
+    # post-activation output (activation sign mask). No activations
+    # recomputed in bwd.
+    act = relu or lrelu is not None
+    return outs, (x, w, res_prev, gate, add, xin, out if act else None)
 
 
 def _conv_op_bwd(relu, emit_xin, emit_sums, tile_h, interpret, w_valid,
-                 saved, g):
+                 lrelu, add_post, saved, g):
     x, w, res_prev, gate, add, xin, out_post = saved
     fold = res_prev is not None
     if xin is None:
@@ -467,11 +485,22 @@ def _conv_op_bwd(relu, emit_xin, emit_sums, tile_h, interpret, w_valid,
         # dbias/dw/dgate reductions stay exact (forward masked them too).
         lane = jnp.arange(g_eff.shape[3])
         g_eff = jnp.where(lane[None, None, None, :] < w_valid, g_eff, 0.0)
-    if relu:
-        g_eff = jnp.where(out_post > 0, g_eff, 0.0)
+    # Post-activation add is linear and outside the activation: its
+    # cotangent is g_eff as-is; the activation mask applies only below.
+    dadd = g_eff.astype(g_out.dtype) if (add is not None and add_post) else None
+    if relu or lrelu is not None:
+        # relu/lrelu preserve sign, so the pre-activation sign equals the
+        # sign of (out - add_post_operand).
+        pre_act = (out_post - add.astype(out_post.dtype)
+                   if (add is not None and add_post) else out_post)
+        if relu:
+            g_eff = jnp.where(pre_act > 0, g_eff, 0.0)
+        else:
+            g_eff = jnp.where(pre_act >= 0, g_eff, lrelu * g_eff)
     g_pre = g_eff.astype(g_out.dtype)
     dbias = jnp.sum(g_eff, axis=(0, 1, 3)).astype(jnp.float32)
-    dadd = g_pre if add is not None else None  # add epilogue is linear
+    if add is not None and not add_post:
+        dadd = g_pre  # pre-activation add epilogue is linear
     # dgrad via the Pallas kernel itself (flipped taps).
     dxin = conv3x3_bhcw(g_pre, _flip_w(w).astype(w.dtype),
                         jnp.zeros((w.shape[2],), jnp.float32),
@@ -499,6 +528,102 @@ def conv3x3_bhcw_plain(x, w, bias):
                    16, False, None)
 
 
+# --------------------------------------------------------------------------
+# Fused codec blocks (joint-codec conv halves, VERDICT r3 next #1).
+#
+# The RealCamNet codec's hybrid blocks (`raw2bit.py:292-328` CIMC /
+# reference `tcm.py:242-268` CSA) run their conv halves at N=64 < 128
+# channels — the lane-padding regime where the BHCW layout won 2.9x on the
+# ISP trunk. These helpers run a whole conv half as chained BHCW Pallas
+# convs on (B, H, C, W) activations; the surrounding 1x1s/elementwise stay
+# XLA (einsums into/out of the BHCW layout, no explicit transposes).
+# --------------------------------------------------------------------------
+
+
+def _cw(p):
+    return p["conv"]["kernel"], p["conv"]["bias"]
+
+
+def fused_residual_block_bhcw(p, x, *, tile_h: int = 16,
+                              interpret: bool = False, w_valid=None):
+    """CompressAI ResidualBlock (ops/codec_layers.py) on BHCW x:
+    out = lrelu(conv2(lrelu(conv1(x)))) + x  (equal in/out channels)."""
+    w1, b1 = _cw(p["conv1"])
+    w2, b2 = _cw(p["conv2"])
+    h = conv_op(x, w1, b1, None, None, None, False, False, False,
+                tile_h, interpret, w_valid, 0.01, False)
+    return conv_op(h, w2, b2, None, None, x, False, False, False,
+                   tile_h, interpret, w_valid, 0.01, True)
+
+
+def fused_residual_block_ca_bhcw(p, x, *, hw=None, tile_h: int = 16,
+                                 interpret: bool = False, w_valid=None):
+    """raw2bit ResidualBlockWithCA (`raw2bit.py:257-289`) on BHCW x:
+    conv1 -> lrelu -> conv2 -> linear CA gate, + identity. The CA mean
+    comes from the kernel's fused channel sums (`hw` overrides the divisor
+    when x carries zero-masked W padding)."""
+    hw = hw or x.shape[1] * x.shape[3]
+    w1, b1 = _cw(p["conv1"])
+    w2, b2 = _cw(p["conv2"])
+    h = conv_op(x, w1, b1, None, None, None, False, False, False,
+                tile_h, interpret, w_valid, 0.01, False)
+    h2, sums = conv_op(h, w2, b2, None, None, None, False, False, True,
+                       tile_h, interpret, w_valid, None, False)
+    mean = (sums / hw).astype(jnp.float32)
+    y = jnp.maximum(mean @ p["ca"]["fc0"]["kernel"].astype(jnp.float32), 0.0)
+    gate = jax.nn.sigmoid(y @ p["ca"]["fc1"]["kernel"].astype(jnp.float32))
+    return h2 * gate[:, None, :, None].astype(h2.dtype) + x
+
+
+def fused_sft_bhcw(p, fea, cond, *, residual: bool = True,
+                   tile_h: int = 16, interpret: bool = False, w_valid=None):
+    """SpatialFeatureTransform 'vanilla' (ops/modulation.py:96-124) on BHCW
+    fea/cond: scale/shift = conv(relu(conv(cond))); out = fea*s + t [+fea]."""
+    s0w, s0b = _cw(p["scale0"])
+    s1w, s1b = _cw(p["scale1"])
+    t0w, t0b = _cw(p["shift0"])
+    t1w, t1b = _cw(p["shift1"])
+    s = conv_op(cond, s0w, s0b, None, None, None, True, False, False,
+                tile_h, interpret, w_valid)
+    s = conv_op(s, s1w, s1b, None, None, None, False, False, False,
+                tile_h, interpret, w_valid)
+    t = conv_op(cond, t0w, t0b, None, None, None, True, False, False,
+                tile_h, interpret, w_valid)
+    t = conv_op(t, t1w, t1b, None, None, None, False, False, False,
+                tile_h, interpret, w_valid)
+    out = fea * s + t
+    return out + fea if residual else out
+
+
+def split_1x1_to_bhcw(x, kernel, bias, conv_dim):
+    """1x1 conv NHWC->(BHCW conv half, NHWC trans half): the codec hybrid
+    blocks' channel split, with the conv half written directly in the
+    channel-sublane layout (no separate transpose pass).
+
+    x: (B,H,W,C); kernel (C,total) [1x1 conv kernel[0,0]]; bias (total,).
+    """
+    kc = kernel[:, :conv_dim].astype(x.dtype)
+    kt = kernel[:, conv_dim:].astype(x.dtype)
+    conv_x = (jnp.einsum("bhwc,cd->bhdw", x, kc)
+              + bias[:conv_dim][None, None, :, None].astype(x.dtype))
+    trans_x = jnp.einsum("bhwc,cd->bhwd", x, kt) + bias[conv_dim:].astype(x.dtype)
+    return conv_x, trans_x
+
+
+def merge_1x1_from_bhcw(conv_x, trans_x, kernel, bias):
+    """Inverse of the split: concat-1x1 with the conv half still in BHCW.
+
+    conv_x (B,H,D,W), trans_x (B,H,W,E); kernel (D+E, total); bias (total,).
+    Returns NHWC (B,H,W,total).
+    """
+    d = conv_x.shape[2]
+    kc = kernel[:d].astype(conv_x.dtype)
+    kt = kernel[d:].astype(conv_x.dtype)
+    return (jnp.einsum("bhdw,do->bhwo", conv_x, kc)
+            + jnp.einsum("bhwe,eo->bhwo", trans_x, kt)
+            + bias.astype(conv_x.dtype))
+
+
 def _ca_gate(sums, hw, p_ca):
     """CA gate from channel sums (ops/blocks.py CALayer params)."""
     mean = (sums / hw).astype(jnp.float32)
@@ -511,7 +636,8 @@ def _ca_gate(sums, hw, p_ca):
 
 
 def _bhcw_ref_conv(x, w, bias, *, res_prev=None, gate=None, relu=False,
-                   add=None, emit_xin=False, emit_sums=False):
+                   lrelu=None, add=None, add_post=False, emit_xin=False,
+                   emit_sums=False):
     """XLA reference in BHCW layout (used for init shapes / fallback / vjp)."""
     xin = x
     if res_prev is not None:
@@ -522,10 +648,16 @@ def _bhcw_ref_conv(x, w, bias, *, res_prev=None, gate=None, relu=False,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     y = y + bias.astype(jnp.float32)
-    if add is not None:
-        y = y + jnp.transpose(add, (0, 1, 3, 2)).astype(jnp.float32)
+    add_t = (None if add is None
+             else jnp.transpose(add, (0, 1, 3, 2)).astype(jnp.float32))
+    if add is not None and not add_post:
+        y = y + add_t
     if relu:
         y = jnp.maximum(y, 0.0)
+    elif lrelu is not None:
+        y = jnp.where(y >= 0, y, lrelu * y)
+    if add is not None and add_post:
+        y = y + add_t
     out = jnp.transpose(y, (0, 1, 3, 2)).astype(x.dtype)
     result = [out]
     if emit_xin:

@@ -84,3 +84,84 @@ def test_final_codec_roundtrip():
     fwd = model.apply(params, raw, cond, coord)
     ref = np.clip(np.asarray(fwd["x_hat"]), 0, 1)
     np.testing.assert_allclose(x_hat, ref, atol=1e-3)
+
+
+class TestFusedAndBf16Paths:
+    """Round-4 perf paths: BHCW Pallas conv halves + bf16 compute dtype
+    must agree with the plain f32 XLA forward (VERDICT r3 next #1)."""
+
+    def test_fused_conv_matches_plain(self):
+        raw, cond, coord = _inputs()
+        plain = raw_compression_tcm_final(**TINY)
+        fused = raw_compression_tcm_final(**TINY, fused_conv=True)
+        params = plain.init(jax.random.key(1), raw, cond, coord)
+        out_p = plain.apply(params, raw, cond, coord)
+        out_f = fused.apply(params, raw, cond, coord)
+        np.testing.assert_allclose(np.asarray(out_f["x_hat"]),
+                                   np.asarray(out_p["x_hat"]),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_f["y"]),
+                                   np.asarray(out_p["y"]),
+                                   atol=2e-4, rtol=1e-4)
+        bpp = lambda o: float(sum(-jnp.log2(l).sum()
+                                  for l in o["likelihoods"].values()))
+        assert abs(bpp(out_f) - bpp(out_p)) / abs(bpp(out_p)) < 1e-4
+
+    def test_fused_conv_grad_matches_plain(self):
+        # Encoder-only loss: the analysis transform has no quantizer, so
+        # gradients are smooth and comparable (the full forward's round()/
+        # ste_round() evaluate downstream layers at integer symbols, where a
+        # 1e-4 forward difference can legitimately flip a symbol and with it
+        # the gradient). This still drives every fused helper: split/merge
+        # 1x1s, RBWithCA, SFT, and the lrelu/add_post conv epilogues.
+        raw, cond, coord = _inputs(32, 32)
+        plain = raw_compression_tcm_final(**TINY)
+        fused = raw_compression_tcm_final(**TINY, fused_conv=True)
+        params = plain.init(jax.random.key(1), raw, cond, coord)
+
+        def loss(model):
+            def f(p):
+                y, aux = model.apply(p, raw, cond, coord,
+                                     method="encode_with_aux")
+                return jnp.sum(y ** 2) + jnp.sum(aux["lft"] ** 2)
+            return f
+
+        g_p = jax.grad(loss(plain))(params)
+        g_f = jax.grad(loss(fused))(params)
+        flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+        flat_f = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_f)}
+        for k, v in flat_p:
+            ks = jax.tree_util.keystr(k)
+            scale = max(1.0, float(np.abs(np.asarray(v)).max()))
+            np.testing.assert_allclose(
+                np.asarray(flat_f[ks]) / scale, np.asarray(v) / scale,
+                atol=2e-3, err_msg=ks)
+
+    def test_bf16_compute_dtype_close_to_f32(self):
+        # Compare the smooth legs (encode, g_s) — through the quantizer a
+        # bf16-vs-f32 difference legitimately flips symbols at random init,
+        # so x_hat is only comparable statistically (trained-checkpoint
+        # metric deltas are measured by the chip bench artifact).
+        raw, cond, coord = _inputs()
+        f32 = raw_compression_tcm_final(**TINY)
+        bf16 = raw_compression_tcm_final(**TINY, compute_dtype=jnp.bfloat16)
+        params = f32.init(jax.random.key(1), raw, cond, coord)
+        y32, _ = f32.apply(params, raw, cond, coord, method="encode_with_aux")
+        y16, _ = bf16.apply(params, raw, cond, coord, method="encode_with_aux")
+        assert y16.dtype == jnp.bfloat16
+        scale = float(jnp.abs(y32).max())
+        np.testing.assert_allclose(np.asarray(y16, np.float32) / scale,
+                                   np.asarray(y32) / scale, atol=0.03)
+        yh = jnp.round(y32 * 4) / 4  # fixed, representable y_hat
+        x32 = f32.apply(params, yh, method="g_s")
+        x16 = bf16.apply(params, yh, method="g_s")
+        assert x16.dtype == jnp.float32  # metrics stay f32
+        assert np.isfinite(np.asarray(x16)).all()
+        np.testing.assert_allclose(np.asarray(x16), np.asarray(x32),
+                                   atol=0.03)
+        # Full forward stays mechanically sound in bf16.
+        out16 = bf16.apply(params, raw, cond, coord)
+        assert np.isfinite(np.asarray(out16["x_hat"])).all()
+        lik = np.asarray(out16["likelihoods"]["y"], np.float32)
+        assert (lik > 0).all() and (lik <= 1).all()
