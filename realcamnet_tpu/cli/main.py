@@ -126,6 +126,12 @@ def cmd_train(args):
         if args.data == "synthetic":
             for step in range(args.steps):
                 yield synthetic_batch(step, args.batch_size, patch)
+        elif args.data == "camera":
+            from realcamnet_tpu.data.dataset import camera_batch_jax
+
+            for step in range(args.steps):
+                yield {k: np.asarray(v) for k, v in camera_batch_jax(
+                    jax.random.key(step), args.batch_size, patch).items()}
         else:
             ds = PairedRawDataset(args.data, patch=patch, seed=0)
             yield from ds.batches(args.batch_size, args.steps)
@@ -167,7 +173,8 @@ def cmd_train(args):
     rng = jax.random.key(args.seed + 1)
     t0 = time.time()
     curve = []
-    if args.device_loop and args.data == "synthetic" and kind == "raw2bit":
+    if (args.device_loop and args.data in ("synthetic", "camera")
+            and kind == "raw2bit"):
         # On-device scan loop: `--device-loop K` runs K steps per jit call
         # with batches drawn on device (train/rd.py make_rd_train_chunk) —
         # removes the per-step host round trip that dominates wall time on
@@ -176,7 +183,8 @@ def cmd_train(args):
 
         chunk = args.device_loop
         chunk_fn = make_rd_train_chunk(model, args.lmbda, args.batch_size,
-                                       patch, chunk, mesh=mesh)
+                                       patch, chunk, mesh=mesh,
+                                       data=args.data)
         for ci in range(-(-args.steps // chunk)):
             rng, sub = jax.random.split(rng)
             state, ms = chunk_fn(state, sub)
@@ -239,6 +247,11 @@ def cmd_eval_rd(args):
             # Same distribution the --device-loop trainer draws from.
             yield from synthetic_eval_batches_jax(1000, args.num_images,
                                                   args.patch)
+        elif args.data in ("camera", "camera-jax"):
+            from realcamnet_tpu.data.dataset import camera_eval_batches_jax
+
+            yield from camera_eval_batches_jax(1000, args.num_images,
+                                               args.patch)
         else:
             ds = PairedRawDataset(args.data, patch=args.patch, train=False)
             for i in range(min(args.num_images, len(ds))):
@@ -386,7 +399,7 @@ def cmd_sweep(args):
     cfg = ExperimentConfig.load(args.config) if args.config else ExperimentConfig()
     eval_data = ("synthetic-jax" if args.device_loop and
                  cfg.data.source == "synthetic" else cfg.data.source)
-    if args.device_loop and cfg.data.source == "synthetic":
+    if args.device_loop and cfg.data.source in ("synthetic", "camera"):
         results = _sweep_device_loop(cfg, args.device_loop, eval_data)
     else:
         results = _sweep_via_train(cfg, args, eval_data)
@@ -428,12 +441,18 @@ def _sweep_device_loop(cfg, chunk, eval_data):
 
     t = cfg.train
     model = RAW2BIT_MODELS[cfg.model.name](**cfg.model.kwargs)
-    example = synthetic_batch_jax(jax.random.key(0), 1, t.patch)
+    if cfg.data.source == "camera":
+        from realcamnet_tpu.data.dataset import (camera_batch_jax as _bjax,
+                                                 camera_eval_batches_jax
+                                                 as _ebjax)
+    else:
+        _bjax, _ebjax = synthetic_batch_jax, synthetic_eval_batches_jax
+    example = _bjax(jax.random.key(0), 1, t.patch)
     sched = make_schedule(t.lr_policy, t.lr, niter=t.steps,
                           niter_decay=t.niter_decay,
                           lr_decay_iters=t.lr_decay_iters)
     chunk_fn = make_rd_train_chunk(model, t.lmbda, t.batch_size, t.patch,
-                                   chunk)
+                                   chunk, data=cfg.data.source)
     # Shared eval/codec jits across lambda legs (params are jit ARGS, so one
     # trace serves all four checkpoints).
     eval_fn = _make_eval_fn(model)
@@ -478,8 +497,7 @@ def _sweep_device_loop(cfg, chunk, eval_data):
         codec.update()
         acc = {}
         per_img = []
-        for b in synthetic_eval_batches_jax(1000, cfg.data.num_eval_images,
-                                            t.patch):
+        for b in _ebjax(1000, cfg.data.num_eval_images, t.patch):
             est = eval_forward_metrics(model, state.params, b, _fn=eval_fn)
             rb = eval_real_bitstream(model, state.params, b, codec=codec)
             rb["bpp_est"] = est["bpp"]

@@ -143,6 +143,48 @@ class ChARMCodec:
         self._slice_lrp = jax.jit(
             lambda p, ms, yh, i: model.apply(p, ms, yh, i, method="slice_lrp"),
             static_argnames=("i",))
+
+        # ---- fused decode pipeline (r4, VERDICT r3 next #6) ----
+        # One device program per relay round trip: program k assembles slice
+        # k-1 from the host's symbols AND computes slice k's (mu, idx) in the
+        # same dispatch; the first program folds h_synth in, the last folds
+        # the synthesis transform g_s in. num_slices+1 dispatches total
+        # (vs 2*num_slices+2 for the naive loop), each with exactly one
+        # uint8 pull or one int16 push. Means/scales/slices stay on device
+        # between calls (passed back as jax.Arrays — no transfer).
+
+        def _idx(scale):
+            return build_indexes_jax(scale, self.scale_table).astype(jnp.uint8)
+
+        def _dec_first(p, z_hat, hy, wy):
+            means, scales = model.apply(p, z_hat, method="h_synth")
+            means = means[:, :hy, :wy, :]
+            scales = scales[:, :hy, :wy, :]
+            mu, scale, msup = model.apply(p, means, scales, [], 0,
+                                          method="slice_params")
+            return mu, _idx(scale), msup, means, scales
+
+        self._dec_first = jax.jit(_dec_first, static_argnames=("hy", "wy"))
+
+        def _dec_step(p, rv, mu, msup, slices, means, scales, i):
+            yh = rv.astype(jnp.float32) + mu.astype(jnp.float32)
+            yh = yh + model.apply(p, msup, yh, i - 1, method="slice_lrp")
+            slices = list(slices) + [yh]
+            mu_i, scale_i, msup_i = model.apply(p, means, scales, slices, i,
+                                                method="slice_params")
+            return yh, mu_i, _idx(scale_i), msup_i
+
+        self._dec_step = jax.jit(_dec_step, static_argnames=("i",))
+
+        def _dec_last(p, rv, mu, msup, slices, i, decode_method):
+            yh = rv.astype(jnp.float32) + mu.astype(jnp.float32)
+            yh = yh + model.apply(p, msup, yh, i, method="slice_lrp")
+            y_hat = jnp.concatenate(list(slices) + [yh], axis=-1)
+            x_hat = model.apply(p, y_hat, method=decode_method)
+            return jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0), y_hat
+
+        self._dec_last = jax.jit(_dec_last,
+                                 static_argnames=("i", "decode_method"))
         # One cached jit per method: building a fresh jax.jit(lambda ...)
         # inside compress()/decompress() would re-trace on EVERY call
         # (seconds per 4K frame through remote-dispatch backends).
@@ -267,13 +309,35 @@ class ChARMCodec:
 
     def decompress(self, strings, shape, z_channels: int = 192,
                    decode_method: str = "g_s"):
+        """Fused decode pipeline: num_slices+1 device dispatches, each with
+        one host transfer; h_synth rides the first program and the synthesis
+        transform rides the last (reference loop contract:
+        `raw2bit.py:1982-2025`)."""
         assert self.fact is not None, "call update() first"
         z_hat = jnp.asarray(self.decompress_z(strings[1][0], shape, z_channels))
-        latent_means, latent_scales = self._h_synth(self.params, z_hat)
-        y_shape = (shape[0] * 4, shape[1] * 4)
-        y_hat = self.decompress_y(strings[0][0], latent_means, latent_scales, y_shape)
-        if decode_method not in self._decode:
-            self._decode[decode_method] = jax.jit(
-                lambda p, yh: self.model.apply(p, yh, method=decode_method))
-        x_hat = self._decode[decode_method](self.params, y_hat)
-        return {"x_hat": jnp.clip(x_hat, 0.0, 1.0)}
+        hy, wy = shape[0] * 4, shape[1] * 4
+        dec = rans.RansDecoder()
+        dec.set_stream(strings[0][0])
+        mu, idx_dev, msup, means, scales = self._dec_first(
+            self.params, z_hat, hy=hy, wy=wy)
+        slices: List[jnp.ndarray] = []
+        for i in range(1, self.num_slices + 1):
+            idx = np.asarray(jax.device_get(idx_dev)).astype(np.int32)
+            sym = dec.decode_stream(idx.reshape(-1), self.gauss.cdfs,
+                                    self.gauss.cdf_lengths, self.gauss.offsets)
+            sym = sym.reshape(idx.shape)
+            if sym.size and abs(int(sym.max())) < 32000 and abs(int(sym.min())) < 32000:
+                rv = jnp.asarray(sym.astype(np.int16))
+            else:
+                rv = jnp.asarray(sym.astype(np.float32))
+            if i < self.num_slices:
+                yh, mu, idx_dev, msup = self._dec_step(
+                    self.params, rv, mu, msup, tuple(slices), means, scales,
+                    i=i)
+                slices.append(yh)
+            else:
+                x_hat, _ = self._dec_last(self.params, rv, mu, msup,
+                                          tuple(slices), i=i - 1,
+                                          decode_method=decode_method)
+        dec.close()
+        return {"x_hat": x_hat}

@@ -454,11 +454,14 @@ class RawCompression(nn.Module):
     # ---- codec delegates ----
 
     def slice_params(self, latent_means, latent_scales, support_slices, i):
-        return self.charm.slice_params(latent_means, latent_scales,
-                                       list(support_slices), i)
+        return self.charm.slice_params(self._cd(latent_means),
+                                       self._cd(latent_scales),
+                                       [self._cd(s) for s in support_slices],
+                                       i)
 
     def slice_lrp(self, mean_support, y_hat_slice, i):
-        return self.charm.slice_lrp(mean_support, y_hat_slice, i)
+        return self.charm.slice_lrp(self._cd(mean_support),
+                                    self._cd(y_hat_slice), i)
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()

@@ -37,8 +37,21 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_params(path: str, params):
     """Restore only the params pytree (eval/codec don't need opt state, and
     this stays valid across optimizer-config changes)."""
-    with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path)
+    except ValueError:
+        # Cross-device restore (e.g. a chip-saved checkpoint opened on CPU):
+        # the stored sharding can't be materialized here — restore as host
+        # numpy instead and let first use device-put the leaves.
+        import numpy as np
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            ra = jax.tree.map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+            restored = ckptr.restore(path, restore_args=ra)
     return jax.tree.map(lambda ref, got: got, params, restored["params"])
 
 

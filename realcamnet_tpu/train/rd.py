@@ -106,7 +106,8 @@ def make_rd_train_step(model, lmbda: float, mesh: Optional[Mesh] = None,
 
 def make_rd_train_chunk(model, lmbda: float, batch_size: int, patch: int,
                         chunk: int, mesh: Optional[Mesh] = None,
-                        inputs=("raw", "cond", "coord")) -> Callable:
+                        inputs=("raw", "cond", "coord"),
+                        data: str = "synthetic") -> Callable:
     """jitted chunk_fn(state, key) -> (state, stacked metrics (chunk,)).
 
     Runs `chunk` RD training steps in ONE device program via `lax.scan`,
@@ -120,7 +121,11 @@ def make_rd_train_chunk(model, lmbda: float, batch_size: int, patch: int,
     four sweep legs produce IDENTICAL HLO — one compile (or persistent-cache
     hit) covers the whole lambda sweep.
     """
-    from realcamnet_tpu.data.dataset import synthetic_batch_jax
+    from realcamnet_tpu.data.dataset import (camera_batch_jax,
+                                             synthetic_batch_jax)
+
+    batch_fn = {"synthetic": synthetic_batch_jax,
+                "camera": camera_batch_jax}[data]
 
     def chunk_fn(state: TrainState, key, lmbda_s):
         step_fn = _make_step_fn(model, lmbda_s, inputs)
@@ -128,7 +133,7 @@ def make_rd_train_chunk(model, lmbda: float, batch_size: int, patch: int,
         def body(carry, _):
             st, k = carry
             k, kb, kd = jax.random.split(k, 3)
-            batch = synthetic_batch_jax(kb, batch_size, patch)
+            batch = batch_fn(kb, batch_size, patch)
             st, metrics = step_fn(st, batch, kd)
             return (st, k), metrics
 
