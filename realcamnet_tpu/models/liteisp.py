@@ -64,14 +64,27 @@ class LiteISPNet(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, raw, cond=None, coord=None, train: bool = False):
+    def __call__(self, raw, cond=None, coord=None, train: bool = False,
+                 halo_axis: Optional[str] = None):
+        """halo_axis: name of a mesh axis the H dimension is sharded over
+        (call inside `shard_map`). Each stage then exchanges only ITS OWN
+        receptive-field halo via `ppermute` at the stage's scale (the
+        per-stage halo-exchange scaler, parallel/spatial.py) instead of
+        whole-net halos up front; channel-attention pooling stays exact via
+        band-cropped pmean, and the tiny middle stage runs replicated after
+        an `all_gather` (its RF exceeds deep-scale band heights)."""
         pd = self.param_dtype
         ch_1, ch_2, ch_3, nb = self.ch_1, self.ch_2, self.ch_3, self.n_blocks
         gfm_nf = self.gfm_nf or (ch_1, ch_1, ch_1, ch_2)
+        hx = halo_axis if not self.is_initializing() else None
+        mb = self.modulation_blocks
+        rf_rcag = 2 * nb + 1
 
         def fuse(ch):
             """fused_rcab='sub128' limits the BHCW kernel to channel counts
             XLA lane-pads (<128); wider groups keep the XLA path."""
+            if hx is not None:
+                return False  # staged-halo path: XLA convs (pooled CA)
             if self.fused_rcab == "sub128":
                 return "bhcw" if ch < 128 else False
             return self.fused_rcab
@@ -81,7 +94,8 @@ class LiteISPNet(nn.Module):
         # DWT/PixelShuffle/elementwise stay XLA on unpadded arrays, and
         # layout converts exactly twice (entry/exit). Params are identical to
         # the NHWC path (init always traces NHWC).
-        bhcw = bool(self.fused_rcab) and not self.is_initializing()
+        bhcw = (bool(self.fused_rcab) and not self.is_initializing()
+                and hx is None)
         lay = "bhcw" if bhcw else "nhwc"
         from realcamnet_tpu.ops.dwt import dwt_forward_bhcw, dwt_inverse_bhcw
         from realcamnet_tpu.ops.pixel import pixel_shuffle_bhcw
@@ -89,10 +103,28 @@ class LiteISPNet(nn.Module):
         dwt_i = dwt_inverse_bhcw if bhcw else dwt_inverse
         ps = pixel_shuffle_bhcw if bhcw else pixel_shuffle
 
+        def ex(x, r):
+            """Exchange r halo rows from the H-neighbors (no-op unsharded)."""
+            if hx is None or r == 0:
+                return x
+            from realcamnet_tpu.parallel.spatial import _exchange_halo
+
+            return _exchange_halo(x, r, hx)
+
+        def crop(x, r):
+            return x if (hx is None or r == 0) else x[:, r:x.shape[1] - r]
+
+        def pool_of(band):
+            return None if hx is None else (hx, band)
+
         x_in = jnp.transpose(raw, (0, 1, 3, 2)) if bhcw else raw
-        h = Conv2d(ch_1, 3, 1, 1, param_dtype=pd, name="head")(x_in, lay)
+        # Segment A: head conv + LSC + mod1 (rf = 1 + 2*mb).
+        r_a = 1 + (2 * mb if self.use_gfm else 0)
+        x_a = ex(x_in, r_a)
+        h = Conv2d(ch_1, 3, 1, 1, param_dtype=pd, name="head")(x_a, lay)
         if self.use_lsc:
-            lsc = LensShadingCorrection(ch_1, ch_1, param_dtype=pd, name="lsc")(coord)
+            lsc = LensShadingCorrection(ch_1, ch_1, param_dtype=pd,
+                                        name="lsc")(ex(coord, r_a))
             if bhcw:
                 lsc = jnp.transpose(lsc, (0, 1, 3, 2))
             h = h * (lsc + 1)
@@ -109,37 +141,68 @@ class LiteISPNet(nn.Module):
                 x = ResGFM(chan, nf, param_dtype=pd, name=f"mod{stage}_{i}")(x, vec, lay)
             return x
 
-        def down(x, stage, mid, extra_head_conv):
+        h = crop(modulate(h, 1, ch_1, gfm_nf[0]), r_a)
+
+        def seg_down(x, stage, mid, extra_head_conv, mod=None):
+            """Down stage as one halo segment: exchange the segment's rf,
+            run [modulate +] conv0 + RCAG [+ conv1], crop, DWT (DWT is
+            per-2x2-block exact — no halo)."""
+            band = x.shape[1]
+            r = ((2 * mb if mod else 0) + 1 + rf_rcag
+                 + (1 if extra_head_conv else 0))
+            x = ex(x, r)
+            if mod:
+                x = modulate(x, *mod)
             x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv0")(x, lay)
-            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd, name=f"down{stage}_rcag")(x, lay)
+            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd,
+                         name=f"down{stage}_rcag")(x, lay, pool=pool_of(band))
             if extra_head_conv:
                 x = Conv2d(mid, 3, 1, 1, param_dtype=pd, name=f"down{stage}_conv1")(x, lay)
-            return dwt_f(x)
+            return dwt_f(crop(x, r))
 
-        def up(x, stage, mid, out_c):
+        def seg_up(x, stage, mid, out_c):
+            """Up stage: IWT (exact), exchange rf, RCAG + conv, crop."""
             x = dwt_i(x)
-            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd, name=f"up{stage}_rcag")(x, lay)
-            return Conv2d(out_c, 3, 1, 1, param_dtype=pd, name=f"up{stage}_conv")(x, lay)
+            band = x.shape[1]
+            r = rf_rcag + 1
+            x = ex(x, r)
+            x = RCAGroup(mid, nb=nb, fused=fuse(mid), param_dtype=pd,
+                         name=f"up{stage}_rcag")(x, lay, pool=pool_of(band))
+            x = Conv2d(out_c, 3, 1, 1, param_dtype=pd, name=f"up{stage}_conv")(x, lay)
+            return crop(x, r)
 
-        h = modulate(h, 1, ch_1, gfm_nf[0])
-        d1 = down(h, 1, ch_1, extra_head_conv=True)
-        d2 = down(modulate(d1, 2, ch_1 * 4, gfm_nf[1]), 2, ch_1, False)
-        d3 = down(modulate(d2, 3, ch_1 * 4, gfm_nf[2]), 3, ch_2, False)
+        d1 = seg_down(h, 1, ch_1, extra_head_conv=True)
+        d2 = seg_down(d1, 2, ch_1, False, mod=(2, ch_1 * 4, gfm_nf[1]))
+        d3 = seg_down(d2, 3, ch_2, False, mod=(3, ch_1 * 4, gfm_nf[2]))
 
-        m = modulate(d3, 4, ch_2 * 4, gfm_nf[3])
+        # Middle: at 1/8 scale the map is tiny but the segment rf (2*mb +
+        # 2 + 2*rf_rcag) can exceed a band — gather the full map, compute
+        # replicated (CA pooling then exact by construction), keep the band.
+        if hx is not None:
+            band8 = d3.shape[1]
+            m_in = jax.lax.all_gather(d3, hx, axis=1, tiled=True)
+        else:
+            m_in = d3
+        m = modulate(m_in, 4, ch_2 * 4, gfm_nf[3])
         m = Conv2d(ch_3, 3, 1, 1, param_dtype=pd, name="mid_conv0")(m, lay)
         m = RCAGroup(ch_3, nb=nb, fused=fuse(ch_3), param_dtype=pd, name="mid_rcag0")(m, lay)
         m = RCAGroup(ch_3, nb=nb, fused=fuse(ch_3), param_dtype=pd, name="mid_rcag1")(m, lay)
         m = Conv2d(ch_2 * 4, 3, 1, 1, param_dtype=pd, name="mid_conv1")(m, lay)
-        m = m + d3
+        m = m + m_in
+        if hx is not None:
+            i = jax.lax.axis_index(hx)
+            m = jax.lax.dynamic_slice_in_dim(m, i * band8, band8, 1)
 
-        u3 = up(m, 3, ch_2, ch_1 * 4) + d2
-        u2 = up(u3, 2, ch_1, ch_1 * 4) + d1
-        u1 = up(u2, 1, ch_1, ch_1) + h
+        u3 = seg_up(m, 3, ch_2, ch_1 * 4) + d2
+        u2 = seg_up(u3, 2, ch_1, ch_1 * 4) + d1
+        u1 = seg_up(u2, 1, ch_1, ch_1) + h
 
-        t = Conv2d(ch_1 * 4, 3, 1, 1, param_dtype=pd, name="tail_conv0")(u1, lay)
+        # Tail: conv at packed scale + PixelShuffle(2) + conv at 2x.
+        t = ex(u1, 2)
+        t = Conv2d(ch_1 * 4, 3, 1, 1, param_dtype=pd, name="tail_conv0")(t, lay)
         t = ps(t, 2)
         out = Conv2d(3, 3, 1, 1, param_dtype=pd, name="tail_conv1")(t, lay)
+        out = crop(out, 4)
         return jnp.transpose(out, (0, 1, 3, 2)) if bhcw else out
 
 

@@ -437,7 +437,10 @@ class RawCompression(nn.Module):
         return self.ha_out(h)
 
     def h_synth(self, z_hat, train: bool = False):
-        z_hat = self._cd(z_hat)
+        # f32 always: feeds the entropy parameters, where encoder/decoder
+        # cross-program bit-agreement is required (see slice_params) — and
+        # it is only ~7 ms of the 4K frame.
+        z_hat = z_hat.astype(jnp.float32)
         hm = self.hms_stem(z_hat)
         for b in self.hms_blocks:
             hm = b(hm, train=train) if isinstance(b, ConvTransBlock) else b(hm)
@@ -454,14 +457,24 @@ class RawCompression(nn.Module):
     # ---- codec delegates ----
 
     def slice_params(self, latent_means, latent_scales, support_slices, i):
-        return self.charm.slice_params(self._cd(latent_means),
-                                       self._cd(latent_scales),
-                                       [self._cd(s) for s in support_slices],
+        """Codec-path entropy parameters — ALWAYS f32, even when
+        compute_dtype=bf16. The bitstream requires the encoder's and
+        decoder's separately-compiled slice_params programs to agree
+        bit-for-bit on the quantized scale index; bf16 charm heads round
+        differently across the two compilations, one index flips, and the
+        rANS stream desyncs from that symbol on (measured:
+        artifacts/decode_nan_bisect_r04.json — slice 1 idx_match False,
+        desynced symbols ±1e9). f32 agreement is verified by the bit-exact
+        round-trip drives."""
+        f32 = jnp.float32
+        return self.charm.slice_params(latent_means.astype(f32),
+                                       latent_scales.astype(f32),
+                                       [s.astype(f32) for s in support_slices],
                                        i)
 
     def slice_lrp(self, mean_support, y_hat_slice, i):
-        return self.charm.slice_lrp(self._cd(mean_support),
-                                    self._cd(y_hat_slice), i)
+        return self.charm.slice_lrp(mean_support.astype(jnp.float32),
+                                    y_hat_slice.astype(jnp.float32), i)
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()

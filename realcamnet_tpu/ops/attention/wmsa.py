@@ -36,15 +36,18 @@ Dtype = Any
 # every model (TCM, raw2bit ChARM heads, SWAtten) defers to this unless its
 # `use_pallas` field is set explicitly, so one switch moves the whole Swin
 # stack onto the fused kernel without touching checkpoints or constructors.
-_PALLAS_WMSA = [os.environ.get("RCN_PALLAS_WMSA", "0") == "1"]
+# Values: False | True (r3 kernel, pallas_wmsa.py) | "v2" (r4 fused
+# heads-in-sublanes kernel, pallas_wmsa2.py). Env: RCN_PALLAS_WMSA=0/1/2.
+_PALLAS_WMSA = [{"0": False, "1": True, "2": "v2"}.get(
+    os.environ.get("RCN_PALLAS_WMSA", "0"), False)]
 
 
-def set_wmsa_pallas(enabled: bool) -> bool:
-    """Set the process-wide Pallas-WMSA default; returns the previous value.
-    Takes effect at trace time — re-jit (new shapes or cleared caches) after
-    flipping."""
+def set_wmsa_pallas(enabled) -> bool:
+    """Set the process-wide Pallas-WMSA default (False | True | 'v2');
+    returns the previous value. Takes effect at trace time — re-jit (new
+    shapes or cleared caches) after flipping."""
     prev = _PALLAS_WMSA[0]
-    _PALLAS_WMSA[0] = bool(enabled)
+    _PALLAS_WMSA[0] = enabled if enabled in (False, True, "v2") else bool(enabled)
     return prev
 
 
@@ -139,6 +142,57 @@ class WMSA(nn.Module):
         # (B, hw, p, ww, p, C) -> (B, hw*ww, p*p, C)
         xw = x.reshape(b, hw, p, ww, p, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b, hw * ww, p * p, c)
+
+        if (use_pallas == "v2" and not self.is_initializing()
+                and p * p >= 64):
+            # r4 fused kernel (pallas_wmsa2.py): qkv + attention + proj in
+            # one pass, heads stacked in sublanes — no materialized tensor
+            # has a small trailing dim, scores never leave VMEM. Params are
+            # identical to the default path (init traces it below).
+            from realcamnet_tpu.ops.attention.pallas_wmsa2 import wmsa_fused
+
+            nw = hw * ww
+            n_heads_ = self.dim // self.head_dim
+            scale = self.head_dim ** -0.5
+            table = self.param(
+                "rel_pos_bias",
+                nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+                (2 * p - 1, 2 * p - 1, n_heads_), self.param_dtype,
+            )
+            idx = _relative_index(p)
+            bias = table[idx[..., 0], idx[..., 1]]      # (p2, p2, heads)
+            # [h*p2 + key, query] layout = per-head transpose.
+            bias_kq = jnp.transpose(bias, (2, 1, 0)).reshape(
+                n_heads_ * p * p, p * p).astype(jnp.float32)
+            if shift:
+                row_pat, col_pat = _shift_patterns(p, shift)
+                neg = jnp.float32(-1e9)
+                # Seam patterns are symmetric in (query, key), so the
+                # key-major layout reuses them untransposed.
+                row_kq = jnp.tile(jnp.asarray(row_pat, jnp.float32),
+                                  (n_heads_, 1)) * neg
+                col_kq = jnp.tile(jnp.asarray(col_pat, jnp.float32),
+                                  (n_heads_, 1)) * neg
+                fr = jnp.zeros((hw,), jnp.float32).at[-1].set(1.0)
+                fc = jnp.zeros((ww,), jnp.float32).at[-1].set(1.0)
+                flags = jnp.stack([jnp.repeat(fr, ww), jnp.tile(fc, hw)], -1)
+                seam = (row_kq, col_kq, jnp.tile(flags, (b, 1)))
+            else:
+                seam = None
+            v = self.variables["params"]
+            out = wmsa_fused(
+                xw.reshape(b * nw, p * p, c),
+                v["qkv"]["kernel"], v["qkv"]["bias"],
+                v["proj"]["kernel"], v["proj"]["bias"],
+                bias_kq, scale, n_heads_, seam=seam,
+                interpret=jax.default_backend() == "cpu")
+            out = out.reshape(b, hw, ww, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+            out = out.reshape(b, hp, wp, c)
+            if shift:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            if pad_h or pad_w:
+                out = out[:, :h, :w, :]
+            return out
 
         qkv = nn.Dense(3 * self.dim, param_dtype=self.param_dtype,
                        dtype=x.dtype, name="qkv")(xw)

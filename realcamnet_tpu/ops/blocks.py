@@ -300,8 +300,21 @@ class CALayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+    def __call__(self, x, pool=None):
+        """pool=(axis_name, band): distributed-exact GAP for spatial-sharded
+        bands (parallel/spatial.py staged halo exchange) — average the
+        CENTRAL `band` rows only (excludes halo rows, which duplicate
+        neighbor content) and pmean over the mesh axis, which equals the
+        full-frame mean for equal bands. pool=(None, band) crops without the
+        collective (single-device tiling)."""
+        if pool is None:
+            y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            axis_name, band = pool
+            c0 = (x.shape[1] - band) // 2
+            y = jnp.mean(x[:, c0:c0 + band], axis=(1, 2), keepdims=True)
+            if axis_name is not None:
+                y = jax.lax.pmean(y, axis_name)
         y = Conv2d(max(1, self.channels // self.reduction), 1, 1, 0,
                    param_dtype=self.param_dtype, name="down")(y)
         y = jax.nn.relu(y)
@@ -342,7 +355,7 @@ class RCABlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pool=None):
         mode = self.mode
         if mode[0] in ("R", "L"):
             mode = mode[0].lower() + mode[1:]
@@ -350,7 +363,7 @@ class RCABlock(nn.Module):
                         padding=self.kernel_size // 2,
                         param_dtype=self.param_dtype, name="res")(x)
         res = CALayer(self.channels, self.reduction,
-                      param_dtype=self.param_dtype, name="ca")(res)
+                      param_dtype=self.param_dtype, name="ca")(res, pool=pool)
         return res + x
 
 
@@ -375,9 +388,9 @@ class RCAGroup(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, layout: str = "nhwc"):
+    def __call__(self, x, layout: str = "nhwc", pool=None):
         bhcw_in = layout == "bhcw"
-        if (self.fused and not self.is_initializing()
+        if (self.fused and pool is None and not self.is_initializing()
                 and self.mode == "CRC" and self.kernel_size == 3):
             from realcamnet_tpu.ops.pallas_conv import fused_rcag_bhcw
 
@@ -390,7 +403,7 @@ class RCAGroup(nn.Module):
         for i in range(self.nb):
             res = RCABlock(self.channels, self.kernel_size, self.mode,
                            self.reduction, param_dtype=self.param_dtype,
-                           name=f"rcab{i}")(res)
+                           name=f"rcab{i}")(res, pool=pool)
         res = Conv2d(self.channels, 3, 1, 1, param_dtype=self.param_dtype,
                      name="tail")(res)
         res = res + x

@@ -32,6 +32,8 @@ def _exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     semantics of the unsharded model's borders).
     """
     n = jax.lax.axis_size(axis_name)
+    assert halo <= x.shape[1], (
+        f"halo {halo} exceeds the local band of {x.shape[1]} rows")
     down = [(i, (i + 1) % n) for i in range(n)]  # send my bottom rows down
     up = [(i, (i - 1) % n) for i in range(n)]    # send my top rows up
     from_above = jax.lax.ppermute(x[:, -halo:], axis_name, down)
@@ -83,6 +85,50 @@ def make_tiled_isp_forward(model, params, mesh: Mesh, halo: int = 48,
         cond = jax.device_put(cond, repl)
         coord = jax.device_put(coord, sh)
         return fn(raw, cond, coord)
+
+    return wrapper
+
+
+def make_staged_halo_isp_forward(model, params, mesh: Mesh,
+                                 out_scale: int = 2) -> Callable:
+    """Per-stage halo-exchange LiteISP forward (VERDICT r3 next #4): H stays
+    sharded over mesh axis 'spatial' END TO END; each stage exchanges only
+    its own receptive-field halo (a few rows at that stage's scale) via
+    `ppermute` inside the model (`LiteISPNet.__call__(halo_axis=...)`),
+    instead of whole-net halos up front (`make_tiled_isp_forward`, which
+    recomputes ~2*rf rows of every stage per shard). Channel-attention
+    pooling is made exact with band-cropped `pmean`; the tiny 1/8-scale
+    middle runs replicated after an `all_gather`.
+
+    Per-shard compute overhead is O(sum_s r_s * W_s) exchanged rows instead
+    of O(rf * W) recomputed rows — the ≥80%-efficiency scaler projected in
+    artifacts/scaling_projection_r03.json.
+
+    raw/coord sharded on H; cond replicated (global color prior is exact).
+    """
+    axis = "spatial"
+
+    def local_fn(p, raw, cond, coord):
+        return model.apply(p, raw, cond, coord, halo_axis=axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None, None), P(),
+                      P(None, axis, None, None)),
+            out_specs=P(None, axis, None, None),
+        )
+    )
+
+    def wrapper(raw, cond, coord):
+        n = mesh.shape[axis]
+        assert raw.shape[1] % (16 * n) == 0, (
+            f"H={raw.shape[1]} must be divisible by 16*spatial={16 * n}")
+        sh = NamedSharding(mesh, P(None, axis, None, None))
+        repl = NamedSharding(mesh, P())
+        return fn(jax.device_put(params, repl), jax.device_put(raw, sh),
+                  jax.device_put(cond, repl), jax.device_put(coord, sh))
 
     return wrapper
 

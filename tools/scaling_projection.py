@@ -82,20 +82,42 @@ def main():
         "Throughput scaling uses per-stage halo exchange or data "
         "parallelism (below).")
 
-    # --- 2. per-stage halo exchange (ppermute per conv stage) ---
-    # Flagship trunk at 4K packed (1088x1920): per 3x3 conv, exchange 1 row
-    # each side at that stage's (W, C); bytes = 2 dirs * 2 rows * W * C * 2B.
-    levels = [  # (W at level, C, ~convs incl. RCAB pairs + stage convs)
-        (1920, 48, 12), (960, 128, 12), (480, 128, 12), (240, 128, 22),
-        (480, 128, 12), (960, 128, 12), (1920, 48, 12)]
-    comm_bytes = sum(2 * 2 * w * c * 2 * k for w, c, k in levels)
-    out["per_stage_exchange"] = {}
+    # --- 2. per-stage halo exchange (IMPLEMENTED r4:
+    # parallel/spatial.py make_staged_halo_isp_forward +
+    # LiteISPNet.__call__(halo_axis=...)). Exchange counts below are the
+    # exact segment halos the implementation issues for the flagship
+    # (nb=4 -> rf_rcag=9, modulation_blocks=1), verified by
+    # tests/test_spatial.py::test_staged_halo_matches_unsharded_interior:
+    #   segA  r=3   on raw(4ch)+coord(2ch) @ W=1920
+    #   down1 r=12  48ch  @1920 | down2 r=12 192ch @960 | down3 r=12 192ch @480
+    #   mid: all_gather of the 1/8-scale map (512ch @240, 136 rows at 4K)
+    #   up3   r=10 128ch @480 | up2 r=10 48ch @960 | up1 r=10 48ch @1920
+    #   tail  r=2   48ch @1920
+    # Bytes per chip = 2 sides * r rows * W * C * dtype (bf16).
+    B = 2  # bf16 activations (the fused trunk's dtype)
+    segs = [("segA", 3, 6, 1920), ("down1", 12, 48, 1920),
+            ("down2", 12, 192, 960), ("down3", 12, 192, 480),
+            ("up3", 10, 128, 480), ("up2", 10, 48, 960),
+            ("up1", 10, 48, 1920), ("tail", 2, 48, 1920)]
+    halo_bytes = sum(2 * r * c * w * B for _, r, c, w in segs)
+    out["per_stage_exchange"] = {
+        "implemented": "parallel/spatial.py make_staged_halo_isp_forward",
+        "segments": {name: {"r": r, "c": c, "w": w,
+                            "mb": round(2 * r * c * w * B / 1e6, 3)}
+                     for name, r, c, w in segs},
+    }
     for n in (2, 4, 8):
+        gather_bytes = (n - 1) / n * 136 * 240 * 512 * B  # mid all_gather @4K
+        comm_bytes = halo_bytes + gather_bytes
         t_comm_ms = comm_bytes / (ICI_GBS * 1e9) * 1e3
-        t_comp_ms = (ms_frame or 112.0) / n
-        eff = t_comp_ms / (t_comp_ms + t_comm_ms)
+        # Replicated middle: its compute is duplicated on every chip. Mid
+        # share of the frame estimated from its FLOP fraction (~4%).
+        mid_frac = 0.04
+        t_comp_ms = (ms_frame or 112.0) * ((1 - mid_frac) / n + mid_frac)
+        eff = ((ms_frame or 112.0) / n) / (t_comp_ms + t_comm_ms)
         out["per_stage_exchange"][f"n{n}"] = {
-            "comm_mb": round(comm_bytes / 1e6, 1),
+            "halo_mb": round(halo_bytes / 1e6, 2),
+            "gather_mb": round(gather_bytes / 1e6, 2),
             "t_comm_ms": round(t_comm_ms, 3),
             "t_comp_ms": round(t_comp_ms, 2),
             "eff": round(eff, 3)}
