@@ -99,11 +99,24 @@ def main():
 
 
 def bench_codec(bh, bw, h16, w16):
-    """Joint codec leg: forward fps + compress/decompress wall at 4K."""
+    """Joint codec leg: forward fps + compress/decompress wall at 4K.
+
+    Runs the winning r4 configuration (codec_bench_r04.json): bf16
+    transforms + BHCW Pallas conv halves + the fused heads-in-sublanes
+    window-attention kernel; entropy parameters stay f32 for encoder/
+    decoder bit-agreement. BENCH_CODEC_FAST=0 benches the plain f32 path.
+    """
     from realcamnet_tpu.entropy.codec import ChARMCodec
     from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
 
-    model = raw_compression_tcm_final()
+    if os.environ.get("BENCH_CODEC_FAST", "1") != "0":
+        from realcamnet_tpu.ops.attention.wmsa import set_wmsa_pallas
+
+        set_wmsa_pallas("v2")
+        model = raw_compression_tcm_final(fused_conv=True,
+                                          compute_dtype=jnp.bfloat16)
+    else:
+        model = raw_compression_tcm_final()
     raw = jnp.full((1, h16, w16, 4), 0.5, jnp.float32)
     cond = raw
     coord = jnp.zeros((1, h16, w16, 2), jnp.float32)

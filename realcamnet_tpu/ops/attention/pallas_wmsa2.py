@@ -48,9 +48,10 @@ def _t(x):
     n = x.shape[0]
     eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return jax.lax.dot_general(x, eye.astype(x.dtype),
-                               dimension_numbers=(((0,), (0,)), ((), ())),
-                               preferred_element_type=x.dtype)
+    out = jax.lax.dot_general(x, eye.astype(x.dtype),
+                              dimension_numbers=(((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)  # exact: single product by 1.0 per element
 
 
 def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,

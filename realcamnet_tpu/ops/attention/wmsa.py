@@ -144,7 +144,12 @@ class WMSA(nn.Module):
         xw = xw.reshape(b, hw * ww, p * p, c)
 
         if (use_pallas == "v2" and not self.is_initializing()
-                and p * p >= 64):
+                and p * p >= 64 and (hp // p) * (wp // p) >= 1024):
+            # Gate by window count: measured on chip the fused kernel wins
+            # 2.2x at 8160 windows and 1.35x at 2040, but loses (0.8x) at
+            # <= 510 windows where grid overhead dominates
+            # (artifacts/wmsa2_chip_check_r04.json) — small maps (stage 3,
+            # hyper, ChARM heads) stay on XLA.
             # r4 fused kernel (pallas_wmsa2.py): qkv + attention + proj in
             # one pass, heads stacked in sublanes — no materialized tensor
             # has a small trailing dim, scores never leave VMEM. Params are

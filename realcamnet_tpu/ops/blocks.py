@@ -392,6 +392,15 @@ class RCAGroup(nn.Module):
         bhcw_in = layout == "bhcw"
         if (self.fused and pool is None and not self.is_initializing()
                 and self.mode == "CRC" and self.kernel_size == 3):
+            if self.fused == "pair":
+                # Paired RCAB kernels (inference fast path): conv1+relu+
+                # conv2 per kernel call, mid activation stays in VMEM.
+                from realcamnet_tpu.ops.pallas_conv import fused_rcag_pair_bhcw
+
+                xb = x if bhcw_in else jnp.transpose(x, (0, 1, 3, 2))
+                out = fused_rcag_pair_bhcw(self.variables["params"], xb,
+                                           self.nb)
+                return out if bhcw_in else jnp.transpose(out, (0, 1, 3, 2))
             from realcamnet_tpu.ops.pallas_conv import fused_rcag_bhcw
 
             xb = x if bhcw_in else jnp.transpose(x, (0, 1, 3, 2))

@@ -407,6 +407,312 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
     return result[0] if len(result) == 1 else tuple(result)
 
 
+def _pair_kernel(x_hbm, res_hbm, w1_ref, b1_ref, w2_ref, b2_ref, gate_ref,
+                 *refs, cin, cmid, cout, th, h, w, rg, fold, emit_xin,
+                 emit_sums, out_dtype, w_valid):
+    """Fused RCAB conv pair: r = conv2(relu(conv1(xin))), xin = x
+    [+ res_prev*gate] — the mid activation h1 never leaves VMEM (it is
+    ~1/3 of the per-RCAB HBM traffic of the two-call chain). halo = 2
+    input rows; h1 rows outside the image are zeroed so conv2 sees the
+    unsharded zero-padding semantics at the frame borders."""
+    it = iter(refs)
+    out_ref = next(it)
+    xin_ref = next(it) if emit_xin else None
+    sums_ref = next(it) if emit_sums else None
+    xs, rs, sem, sem2 = it
+
+    halo = 2
+    nh = h // th
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    slot = jax.lax.rem(i, 2)
+    dk = dict(cin=cin, th=th, nh=nh, h=h, halo=halo)
+
+    def start_all(idx, s):
+        _row_dma_start(x_hbm, xs.at[s], sem.at[s], b, idx, **dk)
+        if fold:
+            _row_dma_start(res_hbm, rs.at[s], sem2.at[s], b, idx, **dk)
+
+    @pl.when(i == 0)
+    def _():
+        start_all(i, 0)
+
+    _row_dma_wait(x_hbm, xs.at[slot], sem.at[slot], b, i, **dk)
+    if fold:
+        _row_dma_wait(res_hbm, rs.at[slot], sem2.at[slot], b, i, **dk)
+
+    @pl.when(i + 1 < nh)
+    def _():
+        start_all(i + 1, 1 - slot)
+
+    hc = halo * cin
+    sl = (nh - 1) % 2
+
+    @pl.when(i == 0)
+    def _():
+        xs[0, 0:hc, :] = jnp.zeros_like(xs[0, 0:hc, :])
+        if fold:
+            rs[0, 0:hc, :] = jnp.zeros_like(rs[0, 0:hc, :])
+
+    @pl.when(i == nh - 1)
+    def _():
+        xs[sl, hc + th * cin:, :] = jnp.zeros_like(xs[sl, hc + th * cin:, :])
+        if fold:
+            rs[sl, hc + th * cin:, :] = jnp.zeros_like(
+                rs[sl, hc + th * cin:, :])
+
+    ng = th // rg
+    sums_acc = None
+    for g in range(ng):
+        # conv1 consumes input rows [g*rg - 2, g*rg + rg + 2) -> buffer
+        # offset (g*rg + halo - 2) * cin = g*rg*cin.
+        lo = g * rg * cin
+        win = xs[slot, lo:lo + (rg + 4) * cin, :]
+        if fold:
+            win = win + (rs[slot, lo:lo + (rg + 4) * cin, :]
+                         * gate_ref[0, lo:lo + (rg + 4) * cin, :]
+                         .astype(win.dtype))
+        acc1 = None
+        for dj in range(3):
+            d = jax.lax.dot_general(
+                w1_ref[dj], win, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if dj != 1:
+                d = _shift_cols(d, 1 - dj, w)
+            acc1 = d if acc1 is None else acc1 + d
+        acc1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
+        if w_valid is not None and w_valid < w:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+            acc1 = jnp.where(col < w_valid, acc1, 0.0)
+        # h1 rows outside the image must be ZERO (the unsharded conv2 pads
+        # h1 with zeros at frame borders; conv1-of-zero-rows is bias-valued,
+        # not zero). Only the first/last h1 row of the frame qualify.
+        row_top = jax.lax.broadcasted_iota(jnp.int32, acc1.shape, 0)
+        if g == 0:
+            acc1 = jnp.where(
+                jnp.logical_and(i == 0, row_top < cmid),
+                0.0, acc1)
+        if g == ng - 1:
+            acc1 = jnp.where(
+                jnp.logical_and(i == nh - 1,
+                                row_top >= (rg + 1) * cmid), 0.0, acc1)
+        h1 = acc1.astype(win.dtype)
+        acc = None
+        for dj in range(3):
+            d = jax.lax.dot_general(
+                w2_ref[dj], h1, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if dj != 1:
+                d = _shift_cols(d, 1 - dj, w)
+            acc = d if acc is None else acc + d
+        acc = acc + b2_ref[:].astype(jnp.float32)
+        if w_valid is not None and w_valid < w:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+            acc = jnp.where(col < w_valid, acc, 0.0)
+        if emit_sums:
+            s = jnp.sum(acc, axis=1, keepdims=True)
+            sums_acc = s if sums_acc is None else sums_acc + s
+        out_ref[0, g * rg * cout:(g + 1) * rg * cout, :] = acc.astype(
+            out_dtype)
+        if emit_xin:
+            xin_ref[0, g * rg * cin:(g + 1) * rg * cin, :] = (
+                win[2 * cin:(2 + rg) * cin, :].astype(out_dtype))
+
+    if emit_sums:
+        s = sums_acc
+        folded = s[0:cout, :]
+        for r in range(1, rg):
+            folded = folded + s[r * cout:(r + 1) * cout, :]
+
+        @pl.when(i == 0)
+        def _():
+            sums_ref[0] = jnp.zeros_like(sums_ref[0])
+
+        sums_ref[0, :, 0:1] = sums_ref[0, :, 0:1] + folded
+
+
+def conv3x3_pair_bhcw(x, w1, b1, w2, b2, *, res_prev=None, gate=None,
+                      emit_xin=False, emit_sums=False, rg=None,
+                      tile_h: int = 16, interpret: bool = False,
+                      w_valid=None):
+    """Fused RCAB pair on (B, H, C, W): returns
+    conv2(relu(conv1(x [+ res_prev*gate]))) [, xin] [, sums].
+
+    The mid activation stays in VMEM — per RCAB this removes one full-res
+    write + read versus chaining two conv3x3_bhcw calls. Inference path
+    (no custom VJP; training uses the per-conv `conv_op` chain).
+    Requires Cin/Cmid/Cout % 8 == 0 and W % 128 == 0 (callers pad).
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    bsz, h, cin, wd = x.shape
+    cmid = w1.shape[3]
+    cout = w2.shape[3]
+    assert cin % 8 == 0 and cmid % 8 == 0 and cout % 8 == 0
+    assert wd % 128 == 0, "pad W outside (fused_rcag_pair_bhcw does)"
+    fold = res_prev is not None
+    if rg is None:
+        rg = 1 if cout >= 128 else 2
+    ds = jnp.dtype(x.dtype).itemsize
+    halo = 2
+
+    def vmem_est(t):
+        e = 2 * (t + 2 * halo) * cin * wd * ds * (2 if fold else 1)
+        e += 2 * t * cout * wd * ds
+        if emit_xin:
+            e += 2 * t * cin * wd * ds
+        if fold:
+            e += (t + 2 * halo) * cin * 128 * 4
+        e += (rg + 4) * cin * wd * ds          # win
+        e += 2 * (rg + 2) * cmid * wd * 4      # acc1 + dot temp
+        e += (rg + 2) * cmid * wd * ds         # h1
+        e += 4 * rg * cout * wd * 4            # acc + temps
+        e += 3 * (rg + 2) * cmid * (rg + 4) * cin * ds
+        e += 3 * rg * cout * (rg + 2) * cmid * ds
+        return e
+
+    th = 0
+    for t in range(min(tile_h, h), rg - 1, -rg):
+        if h % t == 0 and t % rg == 0 and vmem_est(t) < 13 * 2 ** 20:
+            th = t
+            break
+    if not th:
+        h1 = _bhcw_ref_conv(x, w1, b1, res_prev=res_prev, gate=gate,
+                            relu=True, emit_xin=emit_xin)
+        xin = None
+        if emit_xin:
+            h1, xin = h1
+        outs = _bhcw_ref_conv(h1, w2, b2, emit_sums=emit_sums)
+        result = [outs[0] if emit_sums else outs]
+        if emit_xin:
+            result.append(xin)
+        if emit_sums:
+            result.append(outs[1])
+        return result[0] if len(result) == 1 else tuple(result)
+    nh = h // th
+    wdt = x.dtype
+
+    def taps(wk, rows, cin_k, cout_k):
+        wt = jnp.transpose(wk, (0, 1, 3, 2)).astype(wdt)
+        w3 = jnp.zeros((3, rows * cout_k, (rows + 2) * cin_k), wdt)
+        for r in range(rows):
+            for ro in range(3):
+                w3 = w3.at[:, r * cout_k:(r + 1) * cout_k,
+                           (r + ro) * cin_k:(r + ro + 1) * cin_k].set(wt[ro])
+        return w3
+
+    w1_3 = taps(w1, rg + 2, cin, cmid)
+    w2_3 = taps(w2, rg, cmid, cout)
+    b1_2 = jnp.tile(b1.reshape(1, cmid), (rg + 2, 1)).reshape(
+        (rg + 2) * cmid, 1)
+    b2_2 = jnp.tile(b2.reshape(1, cout), (rg, 1)).reshape(rg * cout, 1)
+
+    if fold:
+        gate_rep = jnp.tile(gate[:, None, :], (1, th + 2 * halo, 1)).reshape(
+            bsz, (th + 2 * halo) * cin, 1)
+        res_m = res_prev.reshape(bsz, h * cin, wd)
+    else:
+        gate_rep = jnp.zeros((bsz, 1, 1), jnp.float32)
+        res_m = jnp.zeros((bsz, 1, 1), wdt)
+
+    kernel = functools.partial(
+        _pair_kernel, cin=cin, cmid=cmid, cout=cout, th=th, h=h, w=wd, rg=rg,
+        fold=fold, emit_xin=emit_xin, emit_sums=emit_sums, out_dtype=wdt,
+        w_valid=w_valid)
+
+    span = (th + 2 * halo) * cin
+    out_specs = [pl.BlockSpec((1, th * cout, wd), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, h * cout, wd), wdt)]
+    if emit_xin:
+        out_specs.append(pl.BlockSpec((1, th * cin, wd),
+                                      lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, h * cin, wd), wdt))
+    if emit_sums:
+        out_specs.append(pl.BlockSpec((1, cout, 128),
+                                      lambda b, i: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, cout, 128), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((3, (rg + 2) * cmid, (rg + 4) * cin),
+                         lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(((rg + 2) * cmid, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rg * cout, (rg + 2) * cmid),
+                         lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rg * cout, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span if fold else 1, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, span, wd), wdt),
+            pltpu.VMEM((2, span, wd) if fold else (2, 8, 128), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x.reshape(bsz, h * cin, wd), res_m, w1_3, b1_2.astype(jnp.float32),
+      w2_3, b2_2.astype(jnp.float32), gate_rep.astype(jnp.float32))
+
+    outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    result = [outs.pop(0).reshape(bsz, h, cout, wd)]
+    if emit_xin:
+        result.append(outs.pop(0).reshape(bsz, h, cin, wd))
+    if emit_sums:
+        result.append(outs.pop(0)[:, :, 0])
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def fused_rcag_pair_bhcw(p, x, nb: int, tile_h: int = 16,
+                         interpret: bool = False):
+    """RCAGroup with PAIRED RCAB kernels (inference fast path): each RCAB's
+    conv1+relu+conv2 is one `conv3x3_pair_bhcw` call — the mid activation
+    never touches HBM. The trailing group conv uses the single-conv kernel
+    with fold+add. Matches `fused_rcag_bhcw` numerically."""
+    wd = x.shape[3]
+    wv = None
+    hw = x.shape[1] * wd
+    if wd % 128:
+        wp = -(-wd // 128) * 128
+        x_in = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - wd)))
+        wv = wd
+    else:
+        x_in = x
+    base, res, gate = x_in, None, None
+    for i in range(nb):
+        blk = p[f"rcab{i}"]
+        kw = dict(tile_h=tile_h, interpret=interpret, w_valid=wv)
+        outs = conv3x3_pair_bhcw(
+            base, blk["res"]["0_conv"]["conv"]["kernel"],
+            blk["res"]["0_conv"]["conv"]["bias"],
+            blk["res"]["2_conv"]["conv"]["kernel"],
+            blk["res"]["2_conv"]["conv"]["bias"],
+            res_prev=res, gate=gate, emit_xin=res is not None,
+            emit_sums=True, **kw)
+        if res is None:
+            r, sums = outs
+            xin = base
+        else:
+            r, xin, sums = outs
+        base, res = xin, r
+        gate = _ca_gate(sums, hw, blk["ca"])
+    out = conv3x3_bhcw(base, p["tail"]["conv"]["kernel"],
+                       p["tail"]["conv"]["bias"], res_prev=res, gate=gate,
+                       add=x_in, tile_h=tile_h, interpret=interpret,
+                       w_valid=wv)
+    return out[..., :wd] if wv else out
+
+
 def _flip_w(w):
     """HWIO (3,3,Cin,Cout) -> dgrad kernel (3,3,Cout,Cin): spatial flip +
     in/out transpose. dX of a stride-1 same conv is the same conv of the

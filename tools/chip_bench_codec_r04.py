@@ -44,7 +44,12 @@ def main():
 
     fused = os.environ.get("CODEC_FUSED", "1") == "1"
     bf16 = os.environ.get("CODEC_BF16", "1") == "1"
-    log(f"devices: {jax.devices()} fused={fused} bf16={bf16}")
+    wmsa = os.environ.get("CODEC_WMSA", "2")
+    if wmsa != "0":
+        from realcamnet_tpu.ops.attention.wmsa import set_wmsa_pallas
+
+        set_wmsa_pallas("v2" if wmsa == "2" else True)
+    log(f"devices: {jax.devices()} fused={fused} bf16={bf16} wmsa={wmsa}")
     size = os.environ.get("BENCH_SIZE", "2160x3840")
     bh, bw = (int(v) for v in size.split("x"))
     h, w = bh // 2, bw // 2
@@ -77,9 +82,29 @@ def main():
         log(f"checkpoint restore skipped: {e}")
 
     results = {"frame": size, "packed": f"{h16}x{w16}", "fused_conv": fused,
-               "bf16": bf16, "baseline_r03_f32_forward_ms": 321.89,
+               "bf16": bf16, "pallas_wmsa": wmsa,
+               "baseline_r03_f32_forward_ms": 321.89,
                "baseline_r03_compress_ms": 625.1,
                "baseline_r03_decompress_ms": 555.31}
+
+    # Relay transfer bandwidth probe: the codec's host<->device traffic
+    # (symbol pulls/pushes) is a fixed cost through the relay; record the
+    # measured bandwidth so the breakdown is interpretable. Probe twice —
+    # the first transfer after process start can be pathologically slow.
+    big = jax.jit(lambda k: (jax.random.uniform(k, (4 * 1024 * 1024,))
+                             * 100).astype(jnp.int16))(jax.random.key(0))
+    jax.block_until_ready(big)
+    for attempt in ("first", "second"):
+        t0 = time.perf_counter()
+        _ = np.asarray(jax.device_get(big))
+        results[f"pull_8mb_ms_{attempt}"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(np.ones((4 * 1024 * 1024,), np.int16)))
+    results["push_8mb_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    log(f"transfer probe: pull 8MB {results['pull_8mb_ms_first']} / "
+        f"{results['pull_8mb_ms_second']} ms, "
+        f"push 8MB {results['push_8mb_ms']} ms")
 
     x_hat_fwd = None
     if os.environ.get("SKIP_FWD", "0") != "1":
