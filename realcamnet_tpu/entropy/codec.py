@@ -341,36 +341,65 @@ class ChARMCodec:
         return {"strings": [[y_str], [z_str]], "shape": z_sym_np.shape[1:3]}
 
     def decompress(self, strings, shape, z_channels: int = 192,
-                   decode_method: str = "g_s"):
+                   decode_method: str = "g_s", timings: Optional[dict] = None):
         """Fused decode pipeline: num_slices+1 device dispatches, each with
         one host transfer; h_synth rides the first program and the synthesis
         transform rides the last (reference loop contract:
-        `raw2bit.py:1982-2025`)."""
+        `raw2bit.py:1982-2025`).
+
+        Pass `timings={}` to collect a phase breakdown (seconds, cumulative
+        across slices): z_rans, dispatch (device program walls), idx_pull,
+        y_rans, sym_push."""
         assert self.fact is not None, "call update() first"
+        t = timings
+        import time as _time
+
+        def _mark(key, t0):
+            if t is not None:
+                t[key] = t.get(key, 0.0) + (_time.perf_counter() - t0)
+
+        t0 = _time.perf_counter()
         z_hat = jnp.asarray(self.decompress_z(strings[1][0], shape, z_channels))
+        _mark("z_rans", t0)
         hy, wy = shape[0] * 4, shape[1] * 4
         dec = rans.RansDecoder()
         dec.set_stream(strings[0][0])
+        t0 = _time.perf_counter()
         mu, idx_dev, msup, means, scales = self._dec_first(
             self.params, z_hat, hy=hy, wy=wy)
+        jax.block_until_ready(idx_dev)
+        _mark("dispatch", t0)
         slices: List[jnp.ndarray] = []
         for i in range(1, self.num_slices + 1):
+            t0 = _time.perf_counter()
             idx = np.asarray(jax.device_get(idx_dev)).astype(np.int32)
+            _mark("idx_pull", t0)
+            t0 = _time.perf_counter()
             sym = dec.decode_stream(idx.reshape(-1), self.gauss.cdfs,
                                     self.gauss.cdf_lengths, self.gauss.offsets)
+            _mark("y_rans", t0)
             sym = sym.reshape(idx.shape)
+            t0 = _time.perf_counter()
             if sym.size and abs(int(sym.max())) < 32000 and abs(int(sym.min())) < 32000:
                 rv = jnp.asarray(sym.astype(np.int16))
             else:
                 rv = jnp.asarray(sym.astype(np.float32))
+            jax.block_until_ready(rv)
+            _mark("sym_push", t0)
+            t0 = _time.perf_counter()
             if i < self.num_slices:
                 yh, mu, idx_dev, msup = self._dec_step(
                     self.params, rv, mu, msup, tuple(slices), means, scales,
                     i=i)
                 slices.append(yh)
+                if t is not None:
+                    jax.block_until_ready(idx_dev)
             else:
                 x_hat, _ = self._dec_last(self.params, rv, mu, msup,
                                           tuple(slices), i=i - 1,
                                           decode_method=decode_method)
+                if t is not None:
+                    jax.block_until_ready(x_hat)
+            _mark("dispatch", t0)
         dec.close()
         return {"x_hat": x_hat}
