@@ -91,10 +91,22 @@ def main():
         "vs_baseline": None,
     }
     if os.environ.get("BENCH_CODEC", "1") != "0":
+        # Soft deadline so the headline line always prints even if the
+        # codec leg's ~6-8 min of compiles outlive the driver's patience.
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("codec leg exceeded BENCH_DEADLINE")
+
+        deadline = int(os.environ.get("BENCH_DEADLINE", "2400"))
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(deadline)
         try:
             line["codec"] = bench_codec(bh, bw, h16, w16)
         except Exception as e:  # codec leg must not kill the headline line
             line["codec"] = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            signal.alarm(0)
     print(json.dumps(line))
 
 
