@@ -254,22 +254,26 @@ class ChARMCodec:
             idxs.append(build_indexes_jax(scale, self.scale_table)
                         .astype(jnp.uint8))
         syms = jnp.stack(syms)
-        # Pull symbols as int16 when they fit (trained latents live far
-        # inside +-32k): halves the biggest device->host transfer of the
-        # encode path — which DOMINATES it through remote-dispatch relays.
+        # Emit int16 AND int8 symbol planes; the host pulls maxabs (scalar)
+        # first and then transfers only the narrowest plane that fits —
+        # the symbol pull dominates encode wall time through remote-dispatch
+        # relays (trained latents typically span a few dozen levels).
         maxabs = jnp.max(jnp.abs(syms))
-        return syms.astype(jnp.int16), maxabs, jnp.stack(idxs)
+        return syms.astype(jnp.int16), syms.astype(jnp.int8), maxabs, \
+            jnp.stack(idxs)
 
     def compress_y(self, y, latent_means, latent_scales) -> bytes:
         """y: (1, Hy, Wy, M) device array. Buffers all slices, single flush
         (`tcm.py:536-567`)."""
         if not hasattr(self, "_compress_device_jit"):
             self._compress_device_jit = jax.jit(self._compress_device)
-        syms16, maxabs, idxs = self._compress_device_jit(
+        syms16, syms8, maxabs, idxs = self._compress_device_jit(
             self.params, jnp.asarray(y), latent_means, latent_scales)
-        assert int(jax.device_get(maxabs)) < 32000, (
+        ma = int(jax.device_get(maxabs))
+        assert ma < 32000, (
             "symbol out of int16 range — untrained/exploding latents?")
-        syms = np.asarray(jax.device_get(syms16)).astype(np.int32)
+        syms = np.asarray(jax.device_get(syms8 if ma < 127 else syms16)
+                          ).astype(np.int32)
         indexes = np.asarray(jax.device_get(idxs)).astype(np.int32)
         return rans.encode_with_indexes(syms.reshape(-1), indexes.reshape(-1),
                                         self.gauss.cdfs,
@@ -322,18 +326,20 @@ class ChARMCodec:
                 z_sym = jnp.round(zf - med[None, None, None, :])
                 z_hat = z_sym + med[None, None, None, :]
                 means, scales = self.model.apply(p, z_hat, method="h_synth")
-                syms16, maxabs, idxs = self._compress_device(p, y, means,
-                                                             scales)
-                return z_sym.astype(jnp.int16), syms16, maxabs, idxs
+                syms16, syms8, maxabs, idxs = self._compress_device(
+                    p, y, means, scales)
+                return z_sym.astype(jnp.int16), syms16, syms8, maxabs, idxs
 
             self._encode[encode_method] = jax.jit(f)
-        z_sym, syms16, maxabs, idxs = self._encode[encode_method](
+        z_sym, syms16, syms8, maxabs, idxs = self._encode[encode_method](
             self.params, *model_inputs)
-        assert int(jax.device_get(maxabs)) < 32000, (
+        ma = int(jax.device_get(maxabs))
+        assert ma < 32000, (
             "symbol out of int16 range — untrained/exploding latents?")
         z_sym_np = np.asarray(jax.device_get(z_sym))
         z_str = self.compress_z_syms(z_sym_np[0])
-        syms = np.asarray(jax.device_get(syms16)).astype(np.int32)
+        syms = np.asarray(jax.device_get(syms8 if ma < 127 else syms16)
+                          ).astype(np.int32)
         indexes = np.asarray(jax.device_get(idxs)).astype(np.int32)
         y_str = rans.encode_with_indexes(
             syms.reshape(-1), indexes.reshape(-1), self.gauss.cdfs,
@@ -380,7 +386,13 @@ class ChARMCodec:
             _mark("y_rans", t0)
             sym = sym.reshape(idx.shape)
             t0 = _time.perf_counter()
-            if sym.size and abs(int(sym.max())) < 32000 and abs(int(sym.min())) < 32000:
+            # Narrowest dtype that fits: the push is pure transfer cost
+            # through remote-dispatch relays (the device programs cast to
+            # f32 regardless).
+            ma = max(abs(int(sym.max())), abs(int(sym.min()))) if sym.size else 0
+            if ma < 127:
+                rv = jnp.asarray(sym.astype(np.int8))
+            elif ma < 32000:
                 rv = jnp.asarray(sym.astype(np.int16))
             else:
                 rv = jnp.asarray(sym.astype(np.float32))

@@ -25,6 +25,11 @@ def main():
 
     import jax
 
+    # The baked axon sitecustomize (if on PYTHONPATH) force-registers the
+    # TPU platform at interpreter start and overrides JAX_PLATFORMS; undo it
+    # before any jax computation — two workers must NEVER touch the relay
+    # (one TPU process at a time), and distributed init must be CPU-only.
+    jax.config.update("jax_platforms", "cpu")
     # CPU cross-process collectives need the gloo transport.
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 

@@ -29,7 +29,10 @@ def test_two_process_rd_step():
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Repo only: the environment's PYTHONPATH may carry a sitecustomize that
+    # registers a remote TPU platform at interpreter start — the workers
+    # must stay CPU-only (the worker also forces jax_platforms=cpu).
+    env["PYTHONPATH"] = REPO
     worker = os.path.join(REPO, "tests", "dist_worker.py")
     procs = [
         subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
@@ -40,7 +43,7 @@ def test_two_process_rd_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -143,11 +143,11 @@ def main():
     if not hasattr(codec, "_compress_device_jit"):
         codec._compress_device_jit = jax.jit(codec._compress_device)
     log("compile charm encode pass")
-    syms, _maxabs, scales = codec._compress_device_jit(params, y, latent_means, latent_scales)
+    syms, _s8, _maxabs, scales = codec._compress_device_jit(params, y, latent_means, latent_scales)
     jax.block_until_ready((syms, scales))
 
     def charm_pass():
-        s2, _m2, i2 = codec._compress_device_jit(params, y, latent_means, latent_scales)
+        s2, _s82, _m2, i2 = codec._compress_device_jit(params, y, latent_means, latent_scales)
         # uint8 table indexes come back from the device (r3 optimization).
         return np.asarray(jax.device_get(s2)), np.asarray(jax.device_get(i2))
 
