@@ -173,6 +173,8 @@ def bench_codec(bh, bw, h16, w16):
     jax.block_until_ready(codec.decompress(out["strings"], out["shape"])["x_hat"])
 
     def wall(fn, n=3):
+        fn()  # extra warm run: the relay reports 1-2 noisy calls after
+        # big compiles (verify skill rule 6)
         t0 = time.perf_counter()
         for _ in range(n):
             r = fn()
