@@ -251,8 +251,8 @@ class RawCompression(nn.Module):
             self.lsc = LensShadingCorrection(N2, N2, pd, name="lsc")
         if self.use_lft:
             lcc = self.local_cond_c or self.n
-            self.local_condition = HybridConditionModule(lcc, 16, pd,
-                                                         name="local_condition")
+            self.local_condition = HybridConditionModule(
+                lcc, 16, pd, fused=self.fused_conv, name="local_condition")
 
         if self.stem == "conv_first":
             self.conv_first = Conv2d(N2, 3, 1, 1, param_dtype=pd, name="conv_first")

@@ -127,6 +127,31 @@ def resize_bilinear(x, size, align_corners=True):
     return out.astype(dtype)
 
 
+def upsample_bilinear_bhcw(x, factor: int = 2, align_corners: bool = True):
+    """`upsample_bilinear` on channel-sublane (B, H, C, W) activations —
+    interpolates H (axis 1) and W (axis 3); keeps sub-128-channel maps out
+    of XLA's padded NHWC layout."""
+    b, h, c, w = x.shape
+    nh, nw = h * factor, w * factor
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if align_corners:
+        ys = jnp.linspace(0.0, h - 1.0, nh)
+        xs = jnp.linspace(0.0, w - 1.0, nw)
+    else:
+        ys = jnp.clip((jnp.arange(nh) + 0.5) / factor - 0.5, 0.0, h - 1.0)
+        xs = jnp.clip((jnp.arange(nw) + 0.5) / factor - 0.5, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(jnp.float32)[None, :, None, None]
+    wx = (xs - x0).astype(jnp.float32)[None, None, None, :]
+    rows = xf[:, y0] * (1 - wy) + xf[:, y1] * wy          # (B, nh, C, W)
+    out = rows[..., x0] * (1 - wx) + rows[..., x1] * wx   # (B, nh, C, nw)
+    return out.astype(dtype)
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding and kaiming-uniform-ish init.
 

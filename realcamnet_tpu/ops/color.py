@@ -127,9 +127,9 @@ class HyConvBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layout: str = "nhwc"):
         x = Conv2d(self.out_c, self.kernel_size, self.stride, self.padding,
-                   param_dtype=self.param_dtype, name="conv")(x)
+                   param_dtype=self.param_dtype, name="conv")(x, layout)
         if self.act == "lrelu":
             return leaky_relu(x, 0.2)
         return jax.nn.relu(x)
@@ -163,16 +163,24 @@ class HyDecBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip):
+    def __call__(self, x, skip, layout: str = "nhwc"):
+        bhcw = layout == "bhcw"
         if self.upscale_method == "bilinear":
-            x = upsample_bilinear(x, 2, align_corners=True)
-            x = HyConvBlock(self.out_c, param_dtype=self.param_dtype, name="up")(x)
+            if bhcw:
+                from realcamnet_tpu.ops.blocks import upsample_bilinear_bhcw
+
+                x = upsample_bilinear_bhcw(x, 2, align_corners=True)
+            else:
+                x = upsample_bilinear(x, 2, align_corners=True)
+            x = HyConvBlock(self.out_c, param_dtype=self.param_dtype,
+                            name="up")(x, layout)
         elif self.upscale_method == "transpose":
             x = ConvTranspose2d(self.out_c, 2, 2, param_dtype=self.param_dtype, name="up")(x)
         else:
             raise NotImplementedError(self.upscale_method)
-        x = jnp.concatenate([skip, x], axis=-1)
-        return HyConvBlock(self.out_c, param_dtype=self.param_dtype, name="conv")(x)
+        x = jnp.concatenate([skip, x], axis=2 if bhcw else -1)
+        return HyConvBlock(self.out_c, param_dtype=self.param_dtype,
+                           name="conv")(x, layout)
 
 
 class LFMConditionModule(nn.Module):
@@ -184,11 +192,31 @@ class LFMConditionModule(nn.Module):
     out_c: int
     mid_c: int = 16
     param_dtype: Dtype = jnp.float32
+    fused: bool = False  # full-res segments in BHCW (ops/pallas_conv.py)
 
     @nn.compact
     def __call__(self, x):
         pd = self.param_dtype
         m = self.mid_c
+        if self.fused and not self.is_initializing():
+            # The full-resolution ends of the UNet run 16-64 channels —
+            # XLA pads them to 128 lanes (8x/2x traffic at 4K). Run them in
+            # the channel-sublane BHCW layout; the /2-and-below levels stay
+            # NHWC (stride-2 convs). Params identical (init traces below).
+            xb = jnp.transpose(x, (0, 1, 3, 2))
+            x1b = HyConvBlock(m, param_dtype=pd, name="in_conv")(xb, "bhcw")
+            x1 = jnp.transpose(x1b, (0, 1, 3, 2))  # NHWC once, for enc1
+            x2 = HyEncBlock(m * 2, param_dtype=pd, name="enc1")(x1)
+            x3 = HyEncBlock(m * 4, param_dtype=pd, name="enc2")(x2)
+            x4 = HyEncBlock(m * 8, param_dtype=pd, name="enc3")(x3)
+            y = HyDecBlock(m * 4, param_dtype=pd, name="dec1")(x4, x3)
+            y = HyDecBlock(m * 2, param_dtype=pd, name="dec2")(y, x2)
+            # dec3 at full res, in BHCW (bilinear up + conv + concat + conv).
+            yb = jnp.transpose(y, (0, 1, 3, 2))
+            yb = HyDecBlock(m, param_dtype=pd, name="dec3")(yb, x1b, "bhcw")
+            fb = HyConvBlock(self.out_c, param_dtype=pd,
+                             name="out_conv")(yb, "bhcw")
+            return jnp.transpose(fb, (0, 1, 3, 2))
         x1 = HyConvBlock(m, param_dtype=pd, name="in_conv")(x)
         x2 = HyEncBlock(m * 2, param_dtype=pd, name="enc1")(x1)
         x3 = HyEncBlock(m * 4, param_dtype=pd, name="enc2")(x2)
@@ -211,12 +239,14 @@ class HybridConditionModule(nn.Module):
     cond_c: int = 64
     mid_c: int = 16
     param_dtype: Dtype = jnp.float32
+    fused: bool = False  # BHCW full-res UNet segments (see LFMConditionModule)
 
     @nn.compact
     def __call__(self, raw):
         pd = self.param_dtype
         nf = self.cond_c
-        feat = LFMConditionModule(nf, self.mid_c, param_dtype=pd, name="unet")(raw)
+        feat = LFMConditionModule(nf, self.mid_c, param_dtype=pd,
+                                  fused=self.fused, name="unet")(raw)
         # CondNet topologies exactly as `raw2bit.py:843-857`: CondNet1 ends in
         # a 1x1 conv, CondNet2/3 end in a bare stride-2 conv (no trailing 1x1
         # or activation).

@@ -141,3 +141,38 @@ class TestCompressAILayerGaps:
             np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
         np.testing.assert_allclose(np.transpose(yr, (0, 2, 3, 1)), y,
                                    atol=1e-5)
+
+
+class TestLftFusedPath:
+    """r4: LFT UNet full-res segments in BHCW (the 46 ms encoder item,
+    codec_roofline_r04.json) must match the plain path exactly."""
+
+    def test_hybrid_condition_fused_parity(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from realcamnet_tpu.ops.color import HybridConditionModule
+
+        m0 = HybridConditionModule(64, 16)
+        m1 = HybridConditionModule(64, 16, fused=True)
+        raw = jax.random.uniform(jax.random.key(1), (1, 64, 48, 4))
+        p = m0.init(jax.random.key(2), raw)
+        for u, v in zip(m0.apply(p, raw), m1.apply(p, raw)):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-5)
+
+    def test_upsample_bhcw_matches_nhwc(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from realcamnet_tpu.ops.blocks import (upsample_bilinear,
+                                               upsample_bilinear_bhcw)
+
+        x = jax.random.uniform(jax.random.key(0), (2, 6, 10, 5))
+        a = upsample_bilinear(x, 2, align_corners=True)
+        b = jnp.transpose(
+            upsample_bilinear_bhcw(jnp.transpose(x, (0, 1, 3, 2)), 2, True),
+            (0, 1, 3, 2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
