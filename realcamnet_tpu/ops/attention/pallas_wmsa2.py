@@ -73,6 +73,7 @@ def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (c, heads * p2), 1) // p2
     mask_t = (rows_t == cols_t).astype(x2.dtype)
 
+    os_ = []
     for w in range(wb):
         q = qkv[w * p2:(w + 1) * p2, 0:c]
         k = qkv[w * p2:(w + 1) * p2, c:2 * c]
@@ -95,11 +96,14 @@ def _attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         ot = jax.lax.dot_general(
             vs, p, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (C, p2_q)
-        o = _t(ot.astype(x2.dtype))                  # (p2, C)
-        y = jax.lax.dot_general(
-            o, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bproj_ref[...].astype(jnp.float32)
-        out_ref[0, w] = y.astype(out_dtype)
+        os_.append(_t(ot.astype(x2.dtype)))          # (p2, C)
+    # One batched output projection for the whole window block: M = wb*p2
+    # fills the MXU rows (per-window dots would run at M=64).
+    o_all = jnp.concatenate(os_, axis=0)             # (wb*p2, C)
+    y_all = jax.lax.dot_general(
+        o_all, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[...].astype(jnp.float32)
+    out_ref[0] = y_all.astype(out_dtype).reshape(wb, p2, c)
 
 
 def wmsa_fused(xw, wqkv, bqkv, wproj, bproj, bias_kq, scale,
