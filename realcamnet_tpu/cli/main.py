@@ -484,6 +484,23 @@ def _sweep_device_loop(cfg, chunk, eval_data):
             print(f"[sweep] lmbda={lmbda:g} step {step} "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                   + f" ({rate:.2f} img/s)", flush=True)
+        # Post-hoc aux-quantile convergence (data-free; see
+        # train.rd.refit_quantiles) so the saved checkpoint and the
+        # real-bitstream eval below carry tail-converged CDF tables.
+        refit = {}
+        try:
+            from realcamnet_tpu.train.rd import refit_quantiles
+
+            new_params, aux_curve = refit_quantiles(model, state.params)
+            aux_curve = jax.device_get(aux_curve)
+            refit = {"aux_before": float(aux_curve[0]),
+                     "aux_after": float(aux_curve[-1])}
+            state = state.replace(params=new_params)
+            print(f"[sweep] aux refit: {refit['aux_before']:.2f} -> "
+                  f"{refit['aux_after']:.2f}", flush=True)
+        except Exception as e:  # keep the sweep alive on refit failure
+            refit = {"error": repr(e)}
+            print(f"[sweep] aux refit FAILED: {e!r}", flush=True)
         ckpt_dir = os.path.join(t.ckpt_dir, f"lmbda_{lmbda:g}")
         ckpt = save_checkpoint(ckpt_dir, state)
         print(f"[sweep] saved {ckpt}", flush=True)
@@ -519,7 +536,7 @@ def _sweep_device_loop(cfg, chunk, eval_data):
         ev["num_images"] = cfg.data.num_eval_images
         print(f"[sweep] lmbda={lmbda:g} eval: {json.dumps(ev)}", flush=True)
         results.append({"lmbda": lmbda, "eval": ev, "train_s": train_s,
-                        "curve": curve})
+                        "refit": refit, "curve": curve})
     return results
 
 

@@ -149,3 +149,38 @@ def make_rd_train_chunk(model, lmbda: float, batch_size: int, patch: int,
     lm = jnp.float32(lmbda)
     return lambda state, key, lmbda_s=None: jitted(
         state, key, lm if lmbda_s is None else lmbda_s)
+
+
+def refit_quantiles(model, params, steps: int = 8000, lr: float = 5e-2):
+    """Post-hoc convergence of the entropy-bottleneck aux quantile loss.
+
+    The aux loss (reference contract: CompressAI `CompressionModel.aux_loss`,
+    used by every raw2bit class via `tcm.py:320`) is a function of ONLY the
+    factorized-density parameters and the `quantiles` — no data enters it.
+    After RD training, the density is frozen from the main loss's point of
+    view, so the quantiles can be driven the rest of the way to the tails
+    with a cheap data-free Adam loop: one tiny on-device `lax.scan` instead
+    of thousands of extra full train steps. Returns (new_params, aux_curve)
+    where aux_curve is the (steps,) aux-loss trajectory.
+    """
+    def loss_fn(p):
+        return model.apply(p, method="aux_loss")
+
+    flat = traverse_util.flatten_dict(params)
+    mask = traverse_util.unflatten_dict(
+        {k: _is_quantile(k) for k in flat})
+    tx = optax.masked(optax.adam(lr), mask)
+
+    def step(carry, _):
+        p, opt = carry
+        aux, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(g, opt, p)
+        return (optax.apply_updates(p, updates), opt), aux
+
+    @jax.jit
+    def run(p):
+        (p, _), auxes = jax.lax.scan(step, (p, tx.init(p)), None,
+                                     length=steps)
+        return p, auxes
+
+    return run(params)
