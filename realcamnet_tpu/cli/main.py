@@ -194,7 +194,9 @@ def cmd_train(args):
             rate = step * args.batch_size / (time.time() - t0)
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"[train] step {step} {msg} ({rate:.2f} img/s)", flush=True)
-            if args.ckpt_dir and (ci + 1) % max(args.ckpt_every // chunk, 1) == 0:
+            # ceil division: save at most every ckpt_every steps (floor
+            # division saved MORE often than requested when chunk ∤ ckpt_every)
+            if args.ckpt_dir and (ci + 1) % max(-(-args.ckpt_every // chunk), 1) == 0:
                 print(f"[train] saved {save_checkpoint(args.ckpt_dir, state)}")
     else:
         for i, batch in enumerate(batches()):

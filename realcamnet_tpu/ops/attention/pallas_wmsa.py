@@ -152,7 +152,7 @@ def _window_attention_fwd_impl(q, k, v, bias, seam, scale, win_blk, interpret):
         return out[:g]
     # Largest multiple-of-8 divisor of g that is <= win_blk (g % 8 == 0 here:
     # smaller g took the pad branch above, so blk=8 always qualifies).
-    blk = next(b for b in range(min(win_blk, g), 7, -1)
+    blk = next(b for b in range(max(min(win_blk, g), 8), 7, -1)
                if g % b == 0 and b % 8 == 0)
 
     # Kernel stack budget, LANE-PADDING AWARE: VMEM tiles pad the last dim

@@ -244,7 +244,7 @@ def conv3x3_bhcw(x, w, bias, *, res_prev=None, gate=None, relu=False,
         return _bhcw_ref_conv(x, w, bias, res_prev=res_prev, gate=gate,
                               relu=relu, lrelu=lrelu, add=add,
                               add_post=add_post, emit_xin=emit_xin,
-                              emit_sums=emit_sums)
+                              emit_sums=emit_sums, w_valid=w_valid)
 
     if cin % 8 or cout % 8:
         # Zero-pad channels to the 8-sublane quantum (head conv 4ch, tail
@@ -578,11 +578,12 @@ def conv3x3_pair_bhcw(x, w1, b1, w2, b2, *, res_prev=None, gate=None,
             break
     if not th:
         h1 = _bhcw_ref_conv(x, w1, b1, res_prev=res_prev, gate=gate,
-                            relu=True, emit_xin=emit_xin)
+                            relu=True, emit_xin=emit_xin, w_valid=w_valid)
         xin = None
         if emit_xin:
             h1, xin = h1
-        outs = _bhcw_ref_conv(h1, w2, b2, emit_sums=emit_sums)
+        outs = _bhcw_ref_conv(h1, w2, b2, emit_sums=emit_sums,
+                              w_valid=w_valid)
         result = [outs[0] if emit_sums else outs]
         if emit_xin:
             result.append(xin)
@@ -943,7 +944,7 @@ def _ca_gate(sums, hw, p_ca):
 
 def _bhcw_ref_conv(x, w, bias, *, res_prev=None, gate=None, relu=False,
                    lrelu=None, add=None, add_post=False, emit_xin=False,
-                   emit_sums=False):
+                   emit_sums=False, w_valid=None):
     """XLA reference in BHCW layout (used for init shapes / fallback / vjp)."""
     xin = x
     if res_prev is not None:
@@ -964,6 +965,12 @@ def _bhcw_ref_conv(x, w, bias, *, res_prev=None, gate=None, relu=False,
         y = jnp.where(y >= 0, y, lrelu * y)
     if add is not None and add_post:
         y = y + add_t
+    if w_valid is not None and w_valid < y.shape[2]:
+        # Match the kernel epilogue: W pad lanes (bias-valued after the conv)
+        # are zeroed post-activation so the channel sums (CA gate mean) and
+        # downstream folds stay exact.
+        col = jnp.arange(y.shape[2])
+        y = jnp.where(col[None, None, :, None] < w_valid, y, 0.0)
     out = jnp.transpose(y, (0, 1, 3, 2)).astype(x.dtype)
     result = [out]
     if emit_xin:

@@ -106,6 +106,10 @@ def make_staged_halo_isp_forward(model, params, mesh: Mesh,
 
     raw/coord sharded on H; cond replicated (global color prior is exact).
     """
+    # LiteISP always upsamples 2x (PixelShuffle tail); the parameter exists
+    # for signature parity with make_tiled_isp_forward, which uses it to
+    # scale halo cropping.
+    assert out_scale == 2, "LiteISP staged-halo forward is 2x-output only"
     axis = "spatial"
 
     def local_fn(p, raw, cond, coord):
