@@ -254,26 +254,27 @@ class ChARMCodec:
             idxs.append(build_indexes_jax(scale, self.scale_table)
                         .astype(jnp.uint8))
         syms = jnp.stack(syms)
-        # Emit int16 AND int8 symbol planes; the host pulls maxabs (scalar)
+        # Emit int32/int16/int8 symbol planes; the host pulls maxabs (scalar)
         # first and then transfers only the narrowest plane that fits —
         # the symbol pull dominates encode wall time through remote-dispatch
-        # relays (trained latents typically span a few dozen levels).
+        # relays (trained latents typically span a few dozen levels). The
+        # int32 plane keeps untrained/exploding latents encodable: the C++
+        # coder's escape/bypass path codes any int32 (csrc/rans.cpp), only
+        # the narrow transfer planes have a range limit.
         maxabs = jnp.max(jnp.abs(syms))
-        return syms.astype(jnp.int16), syms.astype(jnp.int8), maxabs, \
-            jnp.stack(idxs)
+        return syms.astype(jnp.int32), syms.astype(jnp.int16), \
+            syms.astype(jnp.int8), maxabs, jnp.stack(idxs)
 
     def compress_y(self, y, latent_means, latent_scales) -> bytes:
         """y: (1, Hy, Wy, M) device array. Buffers all slices, single flush
         (`tcm.py:536-567`)."""
         if not hasattr(self, "_compress_device_jit"):
             self._compress_device_jit = jax.jit(self._compress_device)
-        syms16, syms8, maxabs, idxs = self._compress_device_jit(
+        syms32, syms16, syms8, maxabs, idxs = self._compress_device_jit(
             self.params, jnp.asarray(y), latent_means, latent_scales)
         ma = int(jax.device_get(maxabs))
-        assert ma < 32000, (
-            "symbol out of int16 range — untrained/exploding latents?")
-        syms = np.asarray(jax.device_get(syms8 if ma < 127 else syms16)
-                          ).astype(np.int32)
+        plane = syms8 if ma < 127 else (syms16 if ma < 32000 else syms32)
+        syms = np.asarray(jax.device_get(plane)).astype(np.int32)
         indexes = np.asarray(jax.device_get(idxs)).astype(np.int32)
         return rans.encode_with_indexes(syms.reshape(-1), indexes.reshape(-1),
                                         self.gauss.cdfs,
@@ -300,7 +301,8 @@ class ChARMCodec:
             if sym.size and abs(int(sym.max())) < 32000 and abs(int(sym.min())) < 32000:
                 rv = jnp.asarray(sym.astype(np.int16))
             else:
-                rv = jnp.asarray(sym.astype(np.float32))
+                # int32 keeps wide symbols exact (f32 would round past 2^24)
+                rv = jnp.asarray(sym.astype(np.int32))
             y_hat_slices.append(self._assemble(self.params, rv, mu,
                                                mean_support, i=i))
         dec.close()
@@ -326,20 +328,25 @@ class ChARMCodec:
                 z_sym = jnp.round(zf - med[None, None, None, :])
                 z_hat = z_sym + med[None, None, None, :]
                 means, scales = self.model.apply(p, z_hat, method="h_synth")
-                syms16, syms8, maxabs, idxs = self._compress_device(
+                syms32, syms16, syms8, maxabs, idxs = self._compress_device(
                     p, y, means, scales)
-                return z_sym.astype(jnp.int16), syms16, syms8, maxabs, idxs
+                z_maxabs = jnp.max(jnp.abs(z_sym))
+                return (z_sym.astype(jnp.int32), z_sym.astype(jnp.int16),
+                        z_maxabs, syms32, syms16, syms8, maxabs, idxs)
 
             self._encode[encode_method] = jax.jit(f)
-        z_sym, syms16, syms8, maxabs, idxs = self._encode[encode_method](
-            self.params, *model_inputs)
+        (z_sym32, z_sym16, z_maxabs, syms32, syms16, syms8, maxabs,
+         idxs) = self._encode[encode_method](self.params, *model_inputs)
         ma = int(jax.device_get(maxabs))
-        assert ma < 32000, (
-            "symbol out of int16 range — untrained/exploding latents?")
-        z_sym_np = np.asarray(jax.device_get(z_sym))
+        # int16 z pull is the common case; fall back to int32 rather than
+        # wrapping silently on pathological |round(z - median)| >= 32768
+        # (the coder's escape/bypass codes any int32).
+        z_ma = int(jax.device_get(z_maxabs))
+        z_sym_np = np.asarray(jax.device_get(
+            z_sym16 if z_ma < 32000 else z_sym32))
         z_str = self.compress_z_syms(z_sym_np[0])
-        syms = np.asarray(jax.device_get(syms8 if ma < 127 else syms16)
-                          ).astype(np.int32)
+        plane = syms8 if ma < 127 else (syms16 if ma < 32000 else syms32)
+        syms = np.asarray(jax.device_get(plane)).astype(np.int32)
         indexes = np.asarray(jax.device_get(idxs)).astype(np.int32)
         y_str = rans.encode_with_indexes(
             syms.reshape(-1), indexes.reshape(-1), self.gauss.cdfs,
@@ -395,7 +402,8 @@ class ChARMCodec:
             elif ma < 32000:
                 rv = jnp.asarray(sym.astype(np.int16))
             else:
-                rv = jnp.asarray(sym.astype(np.float32))
+                # int32 keeps wide symbols exact (f32 would round past 2^24)
+                rv = jnp.asarray(sym.astype(np.int32))
             jax.block_until_ready(rv)
             _mark("sym_push", t0)
             t0 = _time.perf_counter()
