@@ -15,23 +15,35 @@ import time
 def _models():
     from realcamnet_tpu.models.liteisp import ISP_MODELS
     from realcamnet_tpu.models.raw2bit import RAW2BIT_MODELS
+    from realcamnet_tpu.models.tcm import TCM_MODELS
 
-    return ISP_MODELS, RAW2BIT_MODELS
+    return ISP_MODELS, RAW2BIT_MODELS, TCM_MODELS
+
+
+# Model input convention by kind: which batch keys feed model.apply. The RD
+# target is always batch["target"]; for standalone image codecs (TCM) the
+# input IS the target (reference `tcm.py:642`: 3-ch image in, image out).
+MODEL_INPUTS = {"raw2bit": ("raw", "cond", "coord"), "tcm": ("target",)}
 
 
 def _build_model(name: str, **kw):
-    isp, r2b = _models()
+    isp, r2b, tcm = _models()
     if name in r2b:
         return r2b[name](**kw), "raw2bit"
+    if name in tcm:
+        return tcm[name](**kw), "tcm"
     if name in isp:
         return isp[name](), "isp"
     raise SystemExit(f"unknown model {name!r}; run `rcn models`")
 
 
 def cmd_models(args):
-    isp, r2b = _models()
+    isp, r2b, tcm = _models()
     print("# Joint RAW->bitstream models (raw2bit):")
     for k in sorted(r2b):
+        print(" ", k)
+    print("# Standalone image codecs (3-ch input):")
+    for k in sorted(tcm):
         print(" ", k)
     print("# ISP models (RAW->sRGB):")
     for k in sorted(isp):
@@ -138,8 +150,9 @@ def cmd_train(args):
 
     first = next(batches())
     example = {k: jnp.asarray(v[:1]) for k, v in first.items()}
-    params = jax.jit(model.init)(jax.random.key(args.seed), example["raw"],
-                                 example["cond"], example["coord"])
+    in_keys = MODEL_INPUTS.get(kind, ("raw", "cond", "coord"))
+    params = jax.jit(model.init)(jax.random.key(args.seed),
+                                 *[example[k] for k in in_keys])
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     print(f"[train] {args.model} ({kind}): {n_params/1e6:.2f}M params")
 
@@ -154,9 +167,10 @@ def cmd_train(args):
     sched = make_schedule(args.lr_policy, args.lr, niter=args.steps,
                           niter_decay=args.steps // 2,
                           lr_decay_iters=max(args.steps // 4, 1))
-    if kind == "raw2bit":
+    if kind in ("raw2bit", "tcm"):
         tx = make_rd_optimizer(args.lr, schedule=sched)
-        step_fn = make_rd_train_step(model, args.lmbda, mesh=mesh)
+        step_fn = make_rd_train_step(model, args.lmbda, mesh=mesh,
+                                     inputs=in_keys)
     else:
         import optax
 
@@ -174,7 +188,7 @@ def cmd_train(args):
     t0 = time.time()
     curve = []
     if (args.device_loop and args.data in ("synthetic", "camera")
-            and kind == "raw2bit"):
+            and kind in ("raw2bit", "tcm")):
         # On-device scan loop: `--device-loop K` runs K steps per jit call
         # with batches drawn on device (train/rd.py make_rd_train_chunk) —
         # removes the per-step host round trip that dominates wall time on
@@ -184,7 +198,7 @@ def cmd_train(args):
         chunk = args.device_loop
         chunk_fn = make_rd_train_chunk(model, args.lmbda, args.batch_size,
                                        patch, chunk, mesh=mesh,
-                                       data=args.data)
+                                       data=args.data, inputs=in_keys)
         for ci in range(-(-args.steps // chunk)):
             rng, sub = jax.random.split(rng)
             state, ms = chunk_fn(state, sub)
@@ -237,8 +251,9 @@ def cmd_eval_rd(args):
     from realcamnet_tpu.train.checkpoint import restore_params
 
     model, kind = _build_model(args.model)
-    if kind != "raw2bit":
-        raise SystemExit("eval-rd needs a raw2bit model")
+    if kind not in ("raw2bit", "tcm"):
+        raise SystemExit("eval-rd needs a raw2bit or tcm model")
+    in_keys = MODEL_INPUTS[kind]
 
     def batches():
         if args.data == "synthetic":
@@ -261,8 +276,8 @@ def cmd_eval_rd(args):
                 yield {k: jnp.asarray(v[None]) for k, v in s.items()}
 
     example = next(batches())
-    params = jax.jit(model.init)(jax.random.key(0), example["raw"],
-                                 example["cond"], example["coord"])
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 *[example[k] for k in in_keys])
     if args.ckpt:
         params = restore_params(args.ckpt, params)
 
@@ -281,11 +296,13 @@ def cmd_eval_rd(args):
                                             net=args.lpips_net)
 
     result = eval_dataset(model, params, batches(),
-                          lpips_params=lpips_params, lpips_net=args.lpips_net)
+                          lpips_params=lpips_params, lpips_net=args.lpips_net,
+                          inputs=in_keys)
     if args.real_bitstream:
         # Whole eval set through the real rANS coder (one codec, reused),
         # reporting the real-vs-estimated bpp gap distribution.
-        result.update(eval_real_bitstream_set(model, params, batches()))
+        result.update(eval_real_bitstream_set(model, params, batches(),
+                                              inputs=in_keys))
     result = {"model": args.model, "ckpt": args.ckpt, **result}
     print(json.dumps(result))
     return result
@@ -303,22 +320,29 @@ def cmd_compress(args):
     from realcamnet_tpu.entropy.codec import ChARMCodec
     from realcamnet_tpu.train.checkpoint import restore_params
 
-    model, _ = _build_model(args.model)
+    model, kind = _build_model(args.model)
     raw = np.load(args.input)
-    if raw.ndim == 2 or raw.shape[-1] == 1:
-        packed = pack_bayer_np(raw)
+    if kind == "tcm":
+        # Standalone image codec: input is an (H, W, 3) sRGB image in [0,1].
+        assert raw.ndim == 3 and raw.shape[-1] == 3, (
+            "TCM compresses 3-ch sRGB images (H, W, 3)")
+        ins = [jnp.asarray(raw[None].astype(np.float32))]
+        npx = raw.shape[0] * raw.shape[1]
     else:
-        packed = raw
-    packed = packed[None].astype(np.float32)
-    coord = coord_map(packed.shape[1], packed.shape[2])[None]
-    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(packed),
-                                 jnp.asarray(packed), jnp.asarray(coord))
+        if raw.ndim == 2 or raw.shape[-1] == 1:
+            packed = pack_bayer_np(raw)
+        else:
+            packed = raw
+        packed = packed[None].astype(np.float32)
+        coord = coord_map(packed.shape[1], packed.shape[2])[None]
+        ins = [jnp.asarray(packed), jnp.asarray(packed), jnp.asarray(coord)]
+        npx = packed.shape[1] * packed.shape[2] * 4
+    params = jax.jit(model.init)(jax.random.key(0), *ins)
     if args.ckpt:
         params = restore_params(args.ckpt, params)
     codec = ChARMCodec(model, params)
     codec.update()
-    out = codec.compress(jnp.asarray(packed), jnp.asarray(packed),
-                         jnp.asarray(coord))
+    out = codec.compress(*ins)
     y_str, z_str = out["strings"][0][0], out["strings"][1][0]
     with open(args.output, "wb") as f:
         f.write(MAGIC)
@@ -326,7 +350,6 @@ def cmd_compress(args):
                             len(y_str), len(z_str)))
         f.write(y_str)
         f.write(z_str)
-    npx = packed.shape[1] * packed.shape[2] * 4
     print(json.dumps({"bytes": len(y_str) + len(z_str) + 16,
                       "bpp": (len(y_str) + len(z_str)) * 8 / npx}))
 
@@ -339,7 +362,7 @@ def cmd_decompress(args):
     from realcamnet_tpu.entropy.codec import ChARMCodec
     from realcamnet_tpu.train.checkpoint import restore_params
 
-    model, _ = _build_model(args.model)
+    model, kind = _build_model(args.model)
     with open(args.input, "rb") as f:
         assert f.read(4) == MAGIC, "bad bitstream magic"
         hz, wz, ny, nz = struct.unpack("<HHII", f.read(12))
@@ -347,9 +370,13 @@ def cmd_decompress(args):
         z_str = f.read(nz)
     # Params must match the encoder's checkpoint.
     hy, wy = hz * 4, wz * 4
-    dummy = jnp.zeros((1, hy * 8, wy * 8, 4))
-    coord = jnp.zeros((1, hy * 8, wy * 8, 2))
-    params = jax.jit(model.init)(jax.random.key(0), dummy, dummy, coord)
+    if kind == "tcm":
+        dummy = jnp.zeros((1, hy * 16, wy * 16, 3))
+        params = jax.jit(model.init)(jax.random.key(0), dummy)
+    else:
+        dummy = jnp.zeros((1, hy * 8, wy * 8, 4))
+        coord = jnp.zeros((1, hy * 8, wy * 8, 2))
+        params = jax.jit(model.init)(jax.random.key(0), dummy, dummy, coord)
     if args.ckpt:
         params = restore_params(args.ckpt, params)
     codec = ChARMCodec(model, params)
@@ -373,12 +400,16 @@ def cmd_profile(args):
 
     from realcamnet_tpu.utils.profiling import profile_model
 
-    isp, r2b = _models()
+    isp, r2b, tcm = _models()
     s = args.size
     if args.model == "groupmixformer":
         from realcamnet_tpu.models.groupmix import groupmixformer_tiny
 
         model = groupmixformer_tiny()
+        inputs = (jnp.ones((1, s, s, 3), jnp.float32),)
+    elif args.model in tcm:
+        # Reference harness: TCM(N=64) on 1x3x512x512 (`tcm.py:642-651`).
+        model, _ = _build_model(args.model)
         inputs = (jnp.ones((1, s, s, 3), jnp.float32),)
     elif args.model in r2b or args.model in isp:
         model, _ = _build_model(args.model)
@@ -442,7 +473,14 @@ def _sweep_device_loop(cfg, chunk, eval_data):
     from realcamnet_tpu.train.schedules import make_schedule
 
     t = cfg.train
-    model = RAW2BIT_MODELS[cfg.model.name](**cfg.model.kwargs)
+    if cfg.model.name in RAW2BIT_MODELS:
+        model = RAW2BIT_MODELS[cfg.model.name](**cfg.model.kwargs)
+        in_keys = MODEL_INPUTS["raw2bit"]
+    else:
+        from realcamnet_tpu.models.tcm import TCM_MODELS
+
+        model = TCM_MODELS[cfg.model.name](**cfg.model.kwargs)
+        in_keys = MODEL_INPUTS["tcm"]
     if cfg.data.source == "camera":
         from realcamnet_tpu.data.dataset import (camera_batch_jax as _bjax,
                                                  camera_eval_batches_jax
@@ -454,17 +492,17 @@ def _sweep_device_loop(cfg, chunk, eval_data):
                           niter_decay=t.niter_decay,
                           lr_decay_iters=t.lr_decay_iters)
     chunk_fn = make_rd_train_chunk(model, t.lmbda, t.batch_size, t.patch,
-                                   chunk, data=cfg.data.source)
+                                   chunk, data=cfg.data.source,
+                                   inputs=in_keys)
     # Shared eval/codec jits across lambda legs (params are jit ARGS, so one
     # trace serves all four checkpoints).
-    eval_fn = _make_eval_fn(model)
+    eval_fn = _make_eval_fn(model, inputs=in_keys)
     codec = None
     results = []
     for li, lmbda in enumerate(cfg.lambdas):
         t0 = time.time()
         params = jax.jit(model.init)(jax.random.key(t.seed + li),
-                                     example["raw"], example["cond"],
-                                     example["coord"])
+                                     *[example[k] for k in in_keys])
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         print(f"[sweep] lmbda={lmbda:g}: {n_params/1e6:.2f}M params",
               flush=True)
@@ -517,8 +555,10 @@ def _sweep_device_loop(cfg, chunk, eval_data):
         acc = {}
         per_img = []
         for b in _ebjax(1000, cfg.data.num_eval_images, t.patch):
-            est = eval_forward_metrics(model, state.params, b, _fn=eval_fn)
-            rb = eval_real_bitstream(model, state.params, b, codec=codec)
+            est = eval_forward_metrics(model, state.params, b, _fn=eval_fn,
+                                       inputs=in_keys)
+            rb = eval_real_bitstream(model, state.params, b, codec=codec,
+                                     inputs=in_keys)
             rb["bpp_est"] = est["bpp"]
             rb["bpp_gap_pct"] = (100.0 * (rb["bpp_real"] - est["bpp"])
                                  / max(est["bpp"], 1e-9))

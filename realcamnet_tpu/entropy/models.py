@@ -162,8 +162,11 @@ class EntropyBottleneck(nn.Module):
         medians = q[:, 0, 1]
         minima = jnp.ceil(medians - q[:, 0, 0]).astype(jnp.int32)
         maxima = jnp.ceil(q[:, 0, 2] - medians).astype(jnp.int32)
-        minima = jnp.clip(minima, 0, max_length // 2)
-        maxima = jnp.clip(maxima, 0, max_length // 2)
+        # Cap so pmf_length = minima + maxima + 1 <= max_length (the static
+        # pmf row width below): max_length//2 each allowed 257 > 256 and
+        # silently truncated the pmf row for very wide (untrained) quantiles.
+        minima = jnp.clip(minima, 0, (max_length - 1) // 2)
+        maxima = jnp.clip(maxima, 0, (max_length - 1) // 2)
         pmf_length = minima + maxima + 1
         L = max_length
         samples = jnp.arange(L, dtype=jnp.float32)[None, :] - minima[:, None].astype(jnp.float32)

@@ -22,12 +22,14 @@ from realcamnet_tpu.evaluation.metrics import (
 )
 
 
-def _make_eval_fn(model, lpips_params=None, lpips_net: str = "alex"):
+def _make_eval_fn(model, lpips_params=None, lpips_net: str = "alex",
+                  inputs=("raw", "cond", "coord")):
     from realcamnet_tpu.evaluation.lpips import lpips as lpips_fn
 
     @jax.jit
-    def run(p, raw, cond, coord, target):
-        out = model.apply(p, raw, cond, coord)
+    def run(p, *args):
+        *ins, target = args
+        out = model.apply(p, *ins)
         x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
         num_px = target.shape[0] * target.shape[1] * target.shape[2]
         m = {
@@ -44,30 +46,35 @@ def _make_eval_fn(model, lpips_params=None, lpips_net: str = "alex"):
     return run
 
 
-def eval_forward_metrics(model, params, batch: Dict, _fn=None) -> Dict[str, float]:
+def eval_forward_metrics(model, params, batch: Dict, _fn=None,
+                         inputs=("raw", "cond", "coord")) -> Dict[str, float]:
     """Eval-mode forward metrics for one batch (jitted)."""
-    run = _fn if _fn is not None else _make_eval_fn(model)
-    m = run(params, batch["raw"], batch["cond"], batch["coord"], batch["target"])
+    run = _fn if _fn is not None else _make_eval_fn(model, inputs=inputs)
+    m = run(params, *[batch[k] for k in inputs], batch["target"])
     return {k: float(v) for k, v in jax.device_get(m).items()}
 
 
 def eval_dataset(model, params, batches: Iterable[Dict],
-                 lpips_params=None, lpips_net: str = "alex") -> Dict[str, float]:
+                 lpips_params=None, lpips_net: str = "alex",
+                 inputs=("raw", "cond", "coord")) -> Dict[str, float]:
     """Mean metrics over an iterable of batches. Pass `lpips_params` (from
     evaluation.lpips init_lpips_params / load_torch_lpips) to add the RD
     curve's LPIPS axis (reference rdcurve.png bottom-left panel).""" 
-    run = _make_eval_fn(model, lpips_params, lpips_net)  # one jit, all batches
+    run = _make_eval_fn(model, lpips_params, lpips_net,
+                        inputs=inputs)  # one jit, all batches
     acc: Dict[str, float] = {}
     n = 0
     for batch in batches:
-        m = eval_forward_metrics(model, params, batch, _fn=run)
+        m = eval_forward_metrics(model, params, batch, _fn=run,
+                                 inputs=inputs)
         for k, v in m.items():
             acc[k] = acc.get(k, 0.0) + v
         n += 1
     return {k: v / max(n, 1) for k, v in acc.items()}
 
 
-def eval_real_bitstream(model, params, batch: Dict, codec=None) -> Dict[str, float]:
+def eval_real_bitstream(model, params, batch: Dict, codec=None,
+                        inputs=("raw", "cond", "coord")) -> Dict[str, float]:
     """Compress+decompress through the actual rANS coder; returns real bpp
     and reconstruction metrics. Pass a prebuilt/updated `codec` to amortize
     CDF-table construction across images."""
@@ -76,9 +83,10 @@ def eval_real_bitstream(model, params, batch: Dict, codec=None) -> Dict[str, flo
     if codec is None:
         codec = ChARMCodec(model, params)
         codec.update()
-    raw, cond, coord, target = (batch[k] for k in ("raw", "cond", "coord", "target"))
-    assert raw.shape[0] == 1, "real-bitstream eval is per-image"
-    out = codec.compress(jnp.asarray(raw), jnp.asarray(cond), jnp.asarray(coord))
+    ins = [jnp.asarray(batch[k]) for k in inputs]
+    target = batch["target"]
+    assert ins[0].shape[0] == 1, "real-bitstream eval is per-image"
+    out = codec.compress(*ins)
     nbytes = sum(len(s[0]) for s in out["strings"])
     dec = codec.decompress(out["strings"], out["shape"])
     x_hat = jnp.clip(dec["x_hat"], 0.0, 1.0)
@@ -93,7 +101,8 @@ def eval_real_bitstream(model, params, batch: Dict, codec=None) -> Dict[str, flo
     }
 
 
-def eval_real_bitstream_set(model, params, batches: Iterable[Dict]) -> Dict[str, float]:
+def eval_real_bitstream_set(model, params, batches: Iterable[Dict],
+                            inputs=("raw", "cond", "coord")) -> Dict[str, float]:
     """Real-bitstream verification over a whole eval set (one codec/update,
     reused). Returns mean metrics plus the distribution of the real-vs-
     estimated bpp gap across images (VERDICT r2 weak #9: one image is not a
@@ -102,11 +111,13 @@ def eval_real_bitstream_set(model, params, batches: Iterable[Dict]) -> Dict[str,
 
     codec = ChARMCodec(model, params)
     codec.update()
-    run = _make_eval_fn(model)
+    run = _make_eval_fn(model, inputs=inputs)
     per_img = []
     for batch in batches:
-        rb = eval_real_bitstream(model, params, batch, codec=codec)
-        est = eval_forward_metrics(model, params, batch, _fn=run)
+        rb = eval_real_bitstream(model, params, batch, codec=codec,
+                                 inputs=inputs)
+        est = eval_forward_metrics(model, params, batch, _fn=run,
+                                   inputs=inputs)
         rb["bpp_est"] = est["bpp"]
         rb["bpp_gap_pct"] = 100.0 * (rb["bpp_real"] - est["bpp"]) / max(est["bpp"], 1e-9)
         per_img.append(rb)

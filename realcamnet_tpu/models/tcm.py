@@ -423,3 +423,17 @@ class TCM(nn.Module):
             "likelihoods": {"y": y_lik, "z": z_lik},
             "para": {"means": means, "scales": scales, "y": y},
         }
+
+
+def tcm(**kw) -> TCM:
+    """Standalone TCM image codec (reference `tcm.py:320-637` treats it as a
+    model in its own right; `__main__` harness at `tcm.py:642` profiles
+    TCM(N=64) on 3-ch 512x512)."""
+    return TCM(**kw)
+
+
+# CLI registry: standalone 3-ch image-compression models (input convention
+# x = sRGB image; the RD target is the input itself).
+TCM_MODELS = {
+    "TCM": tcm,
+}
