@@ -226,3 +226,106 @@ void rans_decode_with_indexes(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// wrANS: wide (multi-lane) rANS for the DEVICE-side decoder.
+//
+// The reference's decode contract (raw2bit.py:1982-2025) alternates host
+// range coding with device parameter passes — num_slices serial host<->device
+// round trips. Through a remote-dispatch backend each round trip costs tens
+// of ms of fixed latency, so the TPU-native redesign moves the range DECODER
+// onto the device: K independent rANS lanes decode in lock step inside one
+// XLA program (realcamnet_tpu/entropy/wrans.py), and the whole ChARM decode
+// becomes ONE dispatch. This host-side encoder produces that format.
+//
+// Format (one frame):
+//   - lane j encodes, in reverse, the symbols at positions p (p % K == j)
+//     within each segment (segments are decoded in order; lane state and
+//     word pointer persist across segments);
+//   - 32-bit state, 16-bit probability precision, 16-bit-word renorm
+//     (<= 1 word read per symbol on decode);
+//   - per-lane word streams stored forward (decode reads forward), initial
+//     decode state = encoder's final state, carried in a header;
+//   - out-of-table symbols encode the table's escape slot in-stream and the
+//     raw value in an uncompressed appendix (positions + int32 values), so
+//     the lock-step device loop needs no variable-length bypass reads.
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr uint32_t kWLow = 1u << 16;  // lane state renorm floor
+}
+
+extern "C" {
+
+// Returns total words written, or -1 on insufficient capacity (words or
+// appendix). Outputs: words_out (all lanes concatenated, each lane's words
+// in decode order), lane_word_counts[K], lane_states[K] (initial decode
+// states), esc_pos/esc_val appendix (global positions) + esc_count.
+int64_t wrans_encode_lanes(
+    const int32_t* symbols, const int32_t* indexes, int64_t n,
+    const int64_t* seg_starts, int64_t n_segs, int64_t K,
+    const uint32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets,
+    uint16_t* words_out, int64_t words_capacity,
+    uint32_t* lane_word_counts, uint32_t* lane_states,
+    int32_t* esc_pos, int32_t* esc_val, int64_t esc_capacity,
+    int64_t* esc_count) {
+  // Escapes are appendix-coded; find them in forward order first (decode
+  // applies them after each segment, order is irrelevant, but forward order
+  // keeps the appendix deterministic and testable).
+  int64_t n_esc = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    const int32_t t = indexes[p];
+    const int64_t max_value = cdf_lengths[t] - 2;
+    const int64_t value = static_cast<int64_t>(symbols[p]) - offsets[t];
+    if (value < 0 || value >= max_value) {
+      if (n_esc >= esc_capacity) return -1;
+      esc_pos[n_esc] = static_cast<int32_t>(p);
+      esc_val[n_esc] = symbols[p];
+      ++n_esc;
+    }
+  }
+  *esc_count = n_esc;
+
+  std::vector<int64_t> lane_positions;  // one lane's positions, reused
+  std::vector<uint16_t> lane_words;     // one lane's words, back-to-front
+  int64_t total_words = 0;
+  for (int64_t j = 0; j < K; ++j) {
+    lane_positions.clear();
+    for (int64_t s = 0; s < n_segs; ++s) {
+      const int64_t lo = seg_starts[s];
+      const int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n;
+      for (int64_t p = lo + j; p < hi; p += K) lane_positions.push_back(p);
+    }
+    lane_words.clear();
+    uint32_t st = kWLow;
+    for (int64_t i = static_cast<int64_t>(lane_positions.size()) - 1; i >= 0;
+         --i) {
+      const int64_t p = lane_positions[i];
+      const int32_t t = indexes[p];
+      const uint32_t* cdf = cdfs + t * cdf_stride;
+      const int64_t max_value = cdf_lengths[t] - 2;
+      int64_t value = static_cast<int64_t>(symbols[p]) - offsets[t];
+      if (value < 0 || value >= max_value) value = max_value;  // escape slot
+      const uint32_t start = cdf[value];
+      const uint32_t freq = cdf[value + 1] - start;
+      // 16-bit renorm: emit until st < freq << 16 (at most one emit, since
+      // one shift brings st below 2^16 <= freq << 16).
+      while (static_cast<uint64_t>(st) >= (static_cast<uint64_t>(freq) << 16)) {
+        lane_words.push_back(static_cast<uint16_t>(st & 0xffff));
+        st >>= 16;
+      }
+      st = ((st / freq) << 16) + (st % freq) + start;
+    }
+    lane_states[j] = st;
+    lane_word_counts[j] = static_cast<uint32_t>(lane_words.size());
+    if (total_words + static_cast<int64_t>(lane_words.size()) > words_capacity)
+      return -1;
+    // Encoder emitted back-to-front; decoder reads forward.
+    for (int64_t i = static_cast<int64_t>(lane_words.size()) - 1; i >= 0; --i)
+      words_out[total_words++] = lane_words[i];
+  }
+  return total_words;
+}
+
+}  // extern "C"

@@ -91,7 +91,184 @@ def build_indexes_np(scales: np.ndarray, scale_table: np.ndarray) -> np.ndarray:
     return (s[..., None] > np.asarray(scale_table[:-1], np.float64)).sum(-1).astype(np.int32)
 
 
-class ChARMCodec:
+
+def merge_tables(a: CdfTables, b: CdfTables) -> CdfTables:
+    """Concatenate two table sets into one indexable set (rows of `b` get
+    indexes offset by len(a)); used by the wrANS frame, whose segments mix
+    Gaussian (y) and factorized (z) tables in one stream."""
+    stride = max(a.cdfs.shape[1], b.cdfs.shape[1])
+    ta, tb = len(a.cdf_lengths), len(b.cdf_lengths)
+    cdfs = np.zeros((ta + tb, stride), np.uint32)
+    cdfs[:ta, : a.cdfs.shape[1]] = a.cdfs
+    cdfs[ta:, : b.cdfs.shape[1]] = b.cdfs
+    return CdfTables(cdfs,
+                     np.concatenate([a.cdf_lengths, b.cdf_lengths]),
+                     np.concatenate([a.offsets, b.offsets]))
+
+
+class _WransMixin:
+    """Device-decoded bitstream path (TPU-native redesign of the reference
+    decode contract `raw2bit.py:1982-2025`; see entropy/wrans.py).
+
+    compress_tpu(): same single device dispatch as compress() (analysis,
+    device z quantization, ChARM slice loop, symbol/index pulls), then the
+    C++ multi-lane encoder packs ONE wrANS frame: segment 0 = z (factorized
+    tables), segments 1..num_slices = y slices (Gaussian tables).
+
+    decompress_tpu(): ONE device dispatch for the entire decode — the wrANS
+    lanes decode z in-program, h_synth and the per-slice parameter passes
+    feed the next segment's lane decode directly, LRP and g_s ride the same
+    program. Zero per-slice host round trips (the host path does
+    num_slices+1 dispatches + as many transfers, each paying fixed relay
+    latency through remote-dispatch backends).
+    """
+
+    DEFAULT_LANES = 1024
+
+    def _wrans_tables(self):
+        if getattr(self, "_merged", None) is None:
+            assert self.gauss is not None and self.fact is not None, \
+                "call update() first"
+            self._merged = merge_tables(self.gauss, self.fact)
+            self._n_gauss = len(self.gauss.cdf_lengths)
+        return self._merged
+
+    def compress_tpu(self, *model_inputs, encode_method: str = "encode",
+                     num_lanes: Optional[int] = None) -> dict:
+        from realcamnet_tpu.entropy import wrans
+
+        K = num_lanes or self.DEFAULT_LANES
+        merged = self._wrans_tables()
+        if encode_method not in self._encode:
+            # Shares the compress() encode program (built there on demand).
+            self.compress(*model_inputs, encode_method=encode_method)
+        (z_sym32, z_sym16, z_maxabs, syms32, syms16, syms8, maxabs,
+         idxs) = self._encode[encode_method](self.params, *model_inputs)
+        ma = int(jax.device_get(maxabs))
+        z_ma = int(jax.device_get(z_maxabs))
+        plane = syms8 if ma < 127 else (syms16 if ma < 32000 else syms32)
+        y_syms = np.asarray(jax.device_get(plane), np.int32)  # (S,1,hy,wy,64)
+        y_idx = np.asarray(jax.device_get(idxs), np.int32)
+        z_sym = np.asarray(jax.device_get(
+            z_sym16 if z_ma < 32000 else z_sym32), np.int32)  # (1,hz,wz,C)
+        hz, wz = z_sym.shape[1:3]
+        n_z = z_sym.size
+        per_slice = y_syms.shape[2] * y_syms.shape[3] * y_syms.shape[4]
+        seg_starts = [0] + [n_z + i * per_slice
+                            for i in range(y_syms.shape[0])]
+        symbols = np.concatenate([z_sym.reshape(-1), y_syms.reshape(-1)])
+        indexes = np.concatenate([
+            (np.tile(np.arange(z_sym.shape[-1], dtype=np.int32), hz * wz)
+             + self._n_gauss),
+            y_idx.reshape(-1)])
+        frame = wrans.encode_lanes(symbols, indexes, seg_starts, merged, K)
+        return {"blob": wrans.pack_blob(frame), "shape": (hz, wz),
+                "num_lanes": K}
+
+    def _wrans_luts(self):
+        from realcamnet_tpu.entropy import wrans
+
+        if getattr(self, "_dec_luts", None) is None:
+            self._dec_luts = wrans.build_decode_luts(self._wrans_tables())
+        return self._dec_luts
+
+    def _wrans_program(self, K: int, decode_method: str):
+        """One whole-decode XLA program (cached per shape via jit)."""
+        from realcamnet_tpu.entropy import wrans
+
+        key = (K, decode_method)
+        if not hasattr(self, "_dec_tpu"):
+            self._dec_tpu = {}
+        if key in self._dec_tpu:
+            return self._dec_tpu[key]
+        model, n_gauss = self.model, self._n_gauss
+        num_slices = self.num_slices
+
+        def fix(syms, lo, hi, esc_pos, esc_val):
+            rel = esc_pos - lo
+            rel = jnp.where((esc_pos >= lo) & (esc_pos < hi), rel, -1)
+            return syms.at[rel].set(esc_val, mode="drop")
+
+        def run(p, luts, words, states, ptrs, esc_pos, esc_val,
+                hy, wy, hz, wz, zc):
+            med = model.apply(p, method="eb_medians").astype(jnp.float32)
+            n_z = hz * wz * zc
+            idx_z = jnp.tile(jnp.arange(zc, dtype=jnp.int32), hz * wz) \
+                + n_gauss
+            pad_z = wrans.lane_pad(n_z, K)
+            idx_z = jnp.concatenate(
+                [idx_z, jnp.zeros(pad_z - n_z, jnp.int32)])
+            syms, st, pt = wrans.decode_segment(words, states, ptrs, idx_z,
+                                                luts, n_z, K)
+            syms = fix(syms, 0, n_z, esc_pos, esc_val)
+            z_hat = (syms[:n_z].reshape(1, hz, wz, zc).astype(jnp.float32)
+                     + med[None, None, None, :])
+            means, scales = model.apply(p, z_hat, method="h_synth")
+            means = means[:, :hy, :wy, :]
+            scales = scales[:, :hy, :wy, :]
+            slices = []
+            n_y = None
+            for i in range(num_slices):
+                mu, scale, msup = model.apply(p, means, scales, slices, i,
+                                              method="slice_params")
+                idx = build_indexes_jax(scale, self.scale_table) \
+                    .astype(jnp.int32).reshape(-1)
+                n_y = idx.shape[0]
+                lo = n_z + i * n_y
+                pad = wrans.lane_pad(n_y, K)
+                idx = jnp.concatenate([idx, jnp.zeros(pad - n_y, jnp.int32)])
+                syms, st, pt = wrans.decode_segment(words, st, pt, idx,
+                                                    luts, n_y, K)
+                syms = fix(syms, lo, lo + n_y, esc_pos, esc_val)
+                yh = (syms[:n_y].reshape(mu.shape).astype(jnp.float32)
+                      + mu.astype(jnp.float32))
+                yh = yh + model.apply(p, msup, yh, i, method="slice_lrp")
+                slices.append(yh)
+            y_hat = jnp.concatenate(slices, axis=-1)
+            x_hat = model.apply(p, y_hat, method=decode_method)
+            return jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0), st
+
+        self._dec_tpu[key] = jax.jit(
+            run, static_argnames=("hy", "wy", "hz", "wz", "zc"))
+        return self._dec_tpu[key]
+
+    def decompress_tpu(self, blob: bytes, shape: Tuple[int, int],
+                       z_channels: int = 192, decode_method: str = "g_s",
+                       num_lanes: Optional[int] = None,
+                       check_states: bool = False) -> dict:
+        from realcamnet_tpu.entropy import wrans
+
+        frame = wrans.unpack_blob(blob)
+        K = num_lanes or len(frame.states)
+        assert K == len(frame.states), "lane count mismatch with blob"
+        luts = self._wrans_luts()
+        run = self._wrans_program(K, decode_method)
+        base = np.zeros(K, np.int32)
+        np.cumsum(frame.counts[:-1].astype(np.int64), out=base[1:])
+        # Escape appendix: pad to a power-of-two bucket so the jit signature
+        # stays stable (almost always empty for trained models).
+        e = len(frame.esc_pos)
+        cap = 1 << max(e - 1, 0).bit_length() if e else 0
+        esc_pos = np.full(max(cap, 1), -1, np.int32)
+        esc_val = np.zeros(max(cap, 1), np.int32)
+        esc_pos[:e] = frame.esc_pos
+        esc_val[:e] = frame.esc_val
+        hy, wy = shape[0] * 4, shape[1] * 4
+        x_hat, st = run(self.params, luts,
+                        jnp.asarray(frame.words.astype(np.uint32)),
+                        jnp.asarray(frame.states), jnp.asarray(base),
+                        jnp.asarray(esc_pos), jnp.asarray(esc_val),
+                        hy=hy, wy=wy, hz=shape[0], wz=shape[1],
+                        zc=z_channels)
+        if check_states:
+            # Bitstream integrity: every lane must return to the encoder's
+            # initial state.
+            assert bool((np.asarray(jax.device_get(st))
+                         == wrans.W_LOW).all()), "wrANS lane state mismatch"
+        return {"x_hat": x_hat}
+
+
+class ChARMCodec(_WransMixin):
     """compress()/decompress() for a bound (model, params) pair.
 
     `update()` builds the integer CDF tables (must be called first — the

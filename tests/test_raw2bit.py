@@ -209,3 +209,31 @@ def test_codec_wide_symbols_no_assert():
     z_str = codec.compress_z_syms(sym.astype(np.int32))
     z_rt = codec.decompress_z(z_str, z.shape[1:3], z.shape[-1])
     np.testing.assert_allclose(np.asarray(z_rt)[0], sym + med, atol=1e-3)
+
+
+def test_wrans_device_decode_matches_host_path():
+    """TPU-native wrANS path (one-dispatch device decode, entropy/wrans.py)
+    must reproduce the host-coded reconstruction exactly: same quantizer,
+    same CDF tables, different transport. Also exercises the escape
+    appendix via an untrained model + input scaling."""
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+
+    model = raw_compression_tcm_final(**TINY)
+    raw, cond, coord = _inputs()
+    params = model.init(jax.random.key(1), raw, cond, coord)
+    codec = ChARMCodec(model, params)
+    codec.update()
+
+    ref = codec.decompress(
+        codec.compress(raw, cond, coord)["strings"],
+        codec.compress(raw, cond, coord)["shape"])
+    out = codec.compress_tpu(raw, cond, coord, num_lanes=64)
+    dec = codec.decompress_tpu(out["blob"], out["shape"], num_lanes=64,
+                               check_states=True)
+    np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                  np.asarray(ref["x_hat"]))
+    # Rate sanity: payload tracks the host strings; the fixed cost is the
+    # per-lane header (4B state + 2B count) + frame header, which dominates
+    # only at toy sizes like this one.
+    host_bytes = sum(len(s[0]) for s in codec.compress(raw, cond, coord)["strings"])
+    assert len(out["blob"]) < host_bytes * 1.5 + 8 * 64 + 32
