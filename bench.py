@@ -31,6 +31,15 @@ def log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def med_spread(samples_ms):
+    """Median-of-N protocol (VERDICT r4 weak #3: round-over-round deltas
+    near 10% were inside single-measurement noise)."""
+    s = sorted(samples_ms)
+    n = len(s)
+    med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return {"median": round(med, 2), "spread": round(s[-1] - s[0], 2), "n": n}
+
+
 def main():
     from realcamnet_tpu.models.liteisp import lite_isp_net_gfm_lsc
 
@@ -75,20 +84,29 @@ def main():
     _ = float(chk)
     log("fwd compiled, timing")
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, chk = fwd(params, raw, cond, coord)
-    _ = float(chk)  # forces completion of the serialized compute stream
-    dt = time.perf_counter() - t0
-    fps = iters * b / dt
-    log(f"{fps:.2f} fps ({dt / iters * 1000:.2f} ms/frame)")
+    # Median of groups: each group pipelines `iters` calls and blocks once
+    # on the value-dependent scalar (per-call blocking would bill one relay
+    # round trip per frame; within-group pipelining matches steady-state
+    # serving).
+    groups, iters = 5, 5
+    samples = []
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, chk = fwd(params, raw, cond, coord)
+        _ = float(chk)  # forces completion of the serialized compute stream
+        samples.append((time.perf_counter() - t0) / iters * 1e3)
+    stats = med_spread(samples)
+    fps = 1e3 * b / stats["median"]
+    log(f"{fps:.2f} fps ({stats['median']:.2f} ms/frame, "
+        f"spread {stats['spread']:.2f} over {groups} groups of {iters})")
 
     line = {
         "metric": f"liteisp_gfm_lsc_raw{bh}x{bw}_fps",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
+        "ms_per_frame": stats,
     }
     if os.environ.get("BENCH_CODEC", "1") != "0":
         # Soft deadline so the headline line always prints even if the
@@ -135,16 +153,21 @@ def bench_codec(bh, bw, h16, w16):
     log(f"codec: jit init (packed {h16}x{w16})")
     params = jax.jit(model.init)(jax.random.key(0), raw, cond, coord)
     jax.block_until_ready(params)
-    # Trained checkpoint (if present) for realistic symbol statistics.
+    # Trained checkpoint (if present) for realistic symbol statistics —
+    # camera-sim sweeps preferred (VERDICT r4 weak #8: the synthetic-data
+    # checkpoint describes a model whose conditioning machinery is idle).
+    ckpt_used = None
     try:
         from realcamnet_tpu.train.checkpoint import (latest_checkpoint,
                                                      restore_params)
-        for d in ("artifacts/ckpt_sweep12k_r03/lmbda_0.013",
+        for d in ("artifacts/ckpt_sweep_cam_r05/lmbda_0.013",
+                  "artifacts/ckpt_sweep12k_r03/lmbda_0.013",
                   "artifacts/ckpt_long_r03/lmbda_0.013"):
             latest = latest_checkpoint(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)), d))
             if latest:
                 params = restore_params(latest, params)
+                ckpt_used = d
                 log(f"codec: restored {latest}")
                 break
     except Exception as e:
@@ -158,13 +181,16 @@ def bench_codec(bh, bw, h16, w16):
 
     log("codec: compiling forward")
     _ = float(fwd(params, raw, cond, coord))
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = fwd(params, raw, cond, coord)
-    _ = float(s)
-    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
-    log(f"codec forward: {fwd_ms:.1f} ms")
+    fsamples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s = fwd(params, raw, cond, coord)
+        _ = float(s)
+        fsamples.append((time.perf_counter() - t0) / 3 * 1e3)
+    fstats = med_spread(fsamples)
+    fwd_ms = fstats["median"]
+    log(f"codec forward: {fwd_ms:.1f} ms (spread {fstats['spread']:.1f})")
 
     codec = ChARMCodec(model, params)
     codec.update()
@@ -172,27 +198,56 @@ def bench_codec(bh, bw, h16, w16):
     out = codec.compress(raw, cond, coord)
     jax.block_until_ready(codec.decompress(out["strings"], out["shape"])["x_hat"])
 
-    def wall(fn, n=3):
+    def wall(fn, n=5):
         fn()  # extra warm run: the relay reports 1-2 noisy calls after
         # big compiles (verify skill rule 6)
-        t0 = time.perf_counter()
+        samples = []
         for _ in range(n):
+            t0 = time.perf_counter()
             r = fn()
-        return (time.perf_counter() - t0) / n * 1e3, r
+            samples.append((time.perf_counter() - t0) * 1e3)
+        return med_spread(samples), r
 
-    comp_ms, out = wall(lambda: codec.compress(raw, cond, coord))
-    dec_ms, _ = wall(lambda: jax.block_until_ready(
+    cstats, out = wall(lambda: codec.compress(raw, cond, coord))
+    dstats, _ = wall(lambda: jax.block_until_ready(
         codec.decompress(out["strings"], out["shape"])["x_hat"]))
     nbytes = sum(len(s[0]) for s in out["strings"])
-    log(f"codec compress: {comp_ms:.1f} ms, decompress: {dec_ms:.1f} ms")
-    return {
+    log(f"codec compress: {cstats['median']:.1f} ms, "
+        f"decompress: {dstats['median']:.1f} ms")
+    result = {
         "model": "raw_compression_tcm_final",
-        "forward_ms": round(fwd_ms, 2),
+        "ckpt": ckpt_used,
+        "forward_ms": fwd_ms,
+        "forward_ms_stats": fstats,
         "forward_fps": round(1e3 / fwd_ms, 3),
-        "compress_ms": round(comp_ms, 2),
-        "decompress_ms": round(dec_ms, 2),
+        "compress_ms": cstats["median"],
+        "compress_ms_stats": cstats,
+        "decompress_ms": dstats["median"],
+        "decompress_ms_stats": dstats,
         "bpp_real": round(nbytes * 8.0 / (bh * bw), 5),
     }
+    if os.environ.get("BENCH_WRANS", "1") != "0":
+        # wrANS device-decoded bitstream (entropy/wrans.py): the whole
+        # decode is ONE dispatch; its bpp includes the per-lane header
+        # overhead (reported separately — the CompressAI-format number
+        # above is the reference-comparable rate).
+        log("codec: compiling wrANS device-decode path")
+        outw = codec.compress_tpu(raw, cond, coord)
+        _ = float(codec.decompress_tpu(outw["blob"], outw["shape"])["check"])
+        cwstats, outw = wall(lambda: codec.compress_tpu(raw, cond, coord))
+        dwstats, _ = wall(lambda: float(codec.decompress_tpu(
+            outw["blob"], outw["shape"])["check"]))
+        log(f"codec wrANS compress: {cwstats['median']:.1f} ms, "
+            f"device decompress: {dwstats['median']:.1f} ms")
+        result.update({
+            "compress_tpu_ms": cwstats["median"],
+            "compress_tpu_ms_stats": cwstats,
+            "decompress_tpu_ms": dwstats["median"],
+            "decompress_tpu_ms_stats": dwstats,
+            "bpp_real_tpu": round(len(outw["blob"]) * 8.0 / (bh * bw), 5),
+            "wrans_lanes": outw["num_lanes"],
+        })
+    return result
 
 
 if __name__ == "__main__":
