@@ -49,7 +49,8 @@ def main():
                            "note": "single-chip times measured on v5e via "
                                    "relay; interconnects are spec estimates"}}
 
-    bench = load("../BENCH_r03.json") or load("../BENCH_r02.json")
+    bench = (load("../BENCH_r04.json") or load("../BENCH_r03.json")
+             or load("../BENCH_r02.json"))
     roof = load("roofline_r03.json")
     ms_frame = None
     if bench:  # driver BENCH files wrap the bench.py JSON under "parsed"
@@ -152,7 +153,10 @@ def main():
             step_ms / (step_ms + t_ar_ms) >= 0.8)
 
     os.makedirs(ARTS, exist_ok=True)
-    with open(os.path.join(ARTS, "scaling_projection_r03.json"), "w") as f:
+    cpu = load("scaling_staged_halo_cpu_r05.json")
+    if cpu:
+        out["measured_cpu_mesh"] = cpu
+    with open(os.path.join(ARTS, "scaling_projection_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
