@@ -43,11 +43,14 @@ _PALLAS_WMSA = [{"0": False, "1": True, "2": "v2"}.get(
 
 
 def set_wmsa_pallas(enabled) -> bool:
-    """Set the process-wide Pallas-WMSA default (False | True | 'v2');
-    returns the previous value. Takes effect at trace time — re-jit (new
-    shapes or cleared caches) after flipping."""
+    """Set the process-wide Pallas-WMSA default (False | True | 'v2' |
+    'v2-force'); returns the previous value. Takes effect at trace time —
+    re-jit (new shapes or cleared caches) after flipping. 'v2-force'
+    bypasses the >=1024-window profitability gate (measurement tool use:
+    tools/chip_wmsa_gate_probe.py)."""
     prev = _PALLAS_WMSA[0]
-    _PALLAS_WMSA[0] = enabled if enabled in (False, True, "v2") else bool(enabled)
+    _PALLAS_WMSA[0] = (enabled if enabled in (False, True, "v2", "v2-force")
+                       else bool(enabled))
     return prev
 
 
@@ -143,8 +146,10 @@ class WMSA(nn.Module):
         xw = x.reshape(b, hw, p, ww, p, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b, hw * ww, p * p, c)
 
-        if (use_pallas == "v2" and not self.is_initializing()
-                and p * p >= 64 and (hp // p) * (wp // p) >= 1024):
+        if (use_pallas in ("v2", "v2-force") and not self.is_initializing()
+                and p * p >= 64
+                and (use_pallas == "v2-force"
+                     or (hp // p) * (wp // p) >= 1024)):
             # Gate by window count: measured on chip the fused kernel wins
             # 2.2x at 8160 windows and 1.35x at 2040, but loses (0.8x) at
             # <= 510 windows where grid overhead dominates
