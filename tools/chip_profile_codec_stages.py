@@ -21,7 +21,14 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-OUT = "/root/repo/artifacts/codec_stage_profile_r04.json"
+import os
+
+# RCN_PROFILE_FUSED=1: profile the full fused stack (BHCW conv halves +
+# WMSA-v2 + bf16) instead of plain bf16 — post-fusion marginals for the
+# decoder-tail question (VERDICT r4 next #4).
+FUSED = os.environ.get("RCN_PROFILE_FUSED", "0") == "1"
+OUT = ("/root/repo/artifacts/codec_stage_profile_r05_fused.json" if FUSED
+       else "/root/repo/artifacts/codec_stage_profile_r04.json")
 
 
 def log(msg):
@@ -34,13 +41,23 @@ def main():
 
     log(f"devices: {jax.devices()}")
     h16, w16 = 1088, 1920
-    model = raw_compression_tcm_final(compute_dtype=jnp.bfloat16)
+    if FUSED:
+        from realcamnet_tpu.ops.attention.wmsa import set_wmsa_pallas
+
+        set_wmsa_pallas("v2")
+        model = raw_compression_tcm_final(fused_conv=True,
+                                          compute_dtype=jnp.bfloat16)
+    else:
+        model = raw_compression_tcm_final(compute_dtype=jnp.bfloat16)
     raw = jnp.full((1, h16, w16, 4), 0.5, jnp.float32)
     cond = raw
     coord = jnp.zeros((1, h16, w16, 2), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), raw, cond, coord)
     jax.block_until_ready(params)
-    latest = latest_checkpoint("/root/repo/artifacts/ckpt_sweep12k_r03/lmbda_0.013")
+    latest = (latest_checkpoint(
+        "/root/repo/artifacts/ckpt_sweep_cam_r05/lmbda_0.013") or
+        latest_checkpoint(
+        "/root/repo/artifacts/ckpt_sweep12k_r03/lmbda_0.013"))
     params = restore_params(latest, params)
     log(f"restored {latest}")
 

@@ -58,6 +58,8 @@ def main():
                           lpips_params=lpips_params, lpips_net="alex")
         rows[d] = {"lpips_wiring_only": round(ev["lpips"], 4),
                    "psnr_cpu_recheck": round(ev["psnr"], 3),
+                   "ms_ssim_db_cpu_recheck": round(ev["ms_ssim_db"], 3),
+                   "delta_e_cpu_recheck": round(ev["delta_e"], 3),
                    "bpp_est_cpu_recheck": round(ev["bpp"], 5)}
         print(d, rows[d], flush=True)
     out = {"note": ("RANDOM-calibration LPIPS (seed 7 alex backbone): "
