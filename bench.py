@@ -230,23 +230,30 @@ def bench_codec(bh, bw, h16, w16):
         # wrANS device-decoded bitstream (entropy/wrans.py): the whole
         # decode is ONE dispatch; its bpp includes the per-lane header
         # overhead (reported separately — the CompressAI-format number
-        # above is the reference-comparable rate).
-        log("codec: compiling wrANS device-decode path")
-        outw = codec.compress_tpu(raw, cond, coord)
-        _ = float(codec.decompress_tpu(outw["blob"], outw["shape"])["check"])
-        cwstats, outw = wall(lambda: codec.compress_tpu(raw, cond, coord))
-        dwstats, _ = wall(lambda: float(codec.decompress_tpu(
-            outw["blob"], outw["shape"])["check"]))
-        log(f"codec wrANS compress: {cwstats['median']:.1f} ms, "
-            f"device decompress: {dwstats['median']:.1f} ms")
-        result.update({
-            "compress_tpu_ms": cwstats["median"],
-            "compress_tpu_ms_stats": cwstats,
-            "decompress_tpu_ms": dwstats["median"],
-            "decompress_tpu_ms_stats": dwstats,
-            "bpp_real_tpu": round(len(outw["blob"]) * 8.0 / (bh * bw), 5),
-            "wrans_lanes": outw["num_lanes"],
-        })
+        # above is the reference-comparable rate). Guarded so a deadline
+        # or failure here never loses the host-path metrics above.
+        try:
+            log("codec: compiling wrANS device-decode path")
+            outw = codec.compress_tpu(raw, cond, coord)
+            _ = float(codec.decompress_tpu(outw["blob"],
+                                           outw["shape"])["check"])
+            cwstats, outw = wall(lambda: codec.compress_tpu(raw, cond,
+                                                            coord))
+            dwstats, _ = wall(lambda: float(codec.decompress_tpu(
+                outw["blob"], outw["shape"])["check"]))
+            log(f"codec wrANS compress: {cwstats['median']:.1f} ms, "
+                f"device decompress: {dwstats['median']:.1f} ms")
+            result.update({
+                "compress_tpu_ms": cwstats["median"],
+                "compress_tpu_ms_stats": cwstats,
+                "decompress_tpu_ms": dwstats["median"],
+                "decompress_tpu_ms_stats": dwstats,
+                "bpp_real_tpu": round(len(outw["blob"]) * 8.0 / (bh * bw),
+                                      5),
+                "wrans_lanes": outw["num_lanes"],
+            })
+        except Exception as e:
+            result["wrans_error"] = f"{type(e).__name__}: {e}"
     return result
 
 
