@@ -41,6 +41,19 @@ Dtype = Any
 _PALLAS_WMSA = [{"0": False, "1": True, "2": "v2"}.get(
     os.environ.get("RCN_PALLAS_WMSA", "0"), False)]
 
+# Profitability gate for the v2 kernel: minimum padded window count. The
+# chip-measured break-even (artifacts/wmsa2_chip_check_r04.json +
+# wmsa_gate_probe_r05.json) sets the default; env RCN_WMSA_GATE overrides.
+_WMSA_GATE = [int(os.environ.get("RCN_WMSA_GATE", "1024"))]
+
+
+def set_wmsa_gate(min_windows: int) -> int:
+    """Set the v2-kernel window-count gate; returns the previous value.
+    Trace-time, like set_wmsa_pallas."""
+    prev = _WMSA_GATE[0]
+    _WMSA_GATE[0] = int(min_windows)
+    return prev
+
 
 def set_wmsa_pallas(enabled) -> bool:
     """Set the process-wide Pallas-WMSA default (False | True | 'v2' |
@@ -149,7 +162,7 @@ class WMSA(nn.Module):
         if (use_pallas in ("v2", "v2-force") and not self.is_initializing()
                 and p * p >= 64
                 and (use_pallas == "v2-force"
-                     or (hp // p) * (wp // p) >= 1024)):
+                     or (hp // p) * (wp // p) >= _WMSA_GATE[0])):
             # Gate by window count: measured on chip the fused kernel wins
             # 2.2x at 8160 windows and 1.35x at 2040, but loses (0.8x) at
             # <= 510 windows where grid overhead dominates

@@ -22,7 +22,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-OUT = "/root/repo/artifacts/wmsa2_chip_check_r04.json"
+OUT = os.environ.get("WMSA2_OUT",
+                     "/root/repo/artifacts/wmsa2_chip_check_r04.json")
 WB = int(os.environ.get("WB", "16"))
 
 
