@@ -31,6 +31,21 @@ def log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def compile_retry(fn, what, attempts=3, backoff=20):
+    """The relay's remote_compile intermittently drops long responses
+    ('response body closed before all bytes were read'); the compile is
+    lost but the process/device are fine — re-dispatching re-compiles."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if a == attempts - 1:
+                raise
+            log(f"{what}: attempt {a + 1} failed ({type(e).__name__}: "
+                f"{str(e)[:100]}); retrying in {backoff}s")
+            time.sleep(backoff)
+
+
 def med_spread(samples_ms):
     """Median-of-N protocol (VERDICT r4 weak #3: round-over-round deltas
     near 10% were inside single-measurement noise)."""
@@ -80,7 +95,8 @@ def main():
         return out, out.astype(jnp.float32).sum()
 
     log("init done, compiling fwd")
-    out, chk = fwd(params, raw, cond, coord)
+    out, chk = compile_retry(lambda: fwd(params, raw, cond, coord),
+                             "ISP forward compile")
     _ = float(chk)
     log("fwd compiled, timing")
 
@@ -180,7 +196,8 @@ def bench_codec(bh, bw, h16, w16):
                 + sum(jnp.log(l).sum() for l in out["likelihoods"].values()))
 
     log("codec: compiling forward")
-    _ = float(fwd(params, raw, cond, coord))
+    _ = compile_retry(lambda: float(fwd(params, raw, cond, coord)),
+                      "codec forward compile")
     fsamples = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -195,8 +212,11 @@ def bench_codec(bh, bw, h16, w16):
     codec = ChARMCodec(model, params)
     codec.update()
     log("codec: compiling compress/decompress")
-    out = codec.compress(raw, cond, coord)
-    jax.block_until_ready(codec.decompress(out["strings"], out["shape"])["x_hat"])
+    out = compile_retry(lambda: codec.compress(raw, cond, coord),
+                        "compress compile")
+    jax.block_until_ready(compile_retry(
+        lambda: codec.decompress(out["strings"], out["shape"]),
+        "decompress compile")["x_hat"])
 
     def wall(fn, n=5):
         fn()  # extra warm run: the relay reports 1-2 noisy calls after
@@ -234,9 +254,13 @@ def bench_codec(bh, bw, h16, w16):
         # or failure here never loses the host-path metrics above.
         try:
             log("codec: compiling wrANS device-decode path")
-            outw = codec.compress_tpu(raw, cond, coord)
-            _ = float(codec.decompress_tpu(outw["blob"],
-                                           outw["shape"])["check"])
+            outw = compile_retry(
+                lambda: codec.compress_tpu(raw, cond, coord),
+                "wrANS encode compile")
+            _ = compile_retry(
+                lambda: float(codec.decompress_tpu(
+                    outw["blob"], outw["shape"])["check"]),
+                "wrANS decode compile")
             cwstats, outw = wall(lambda: codec.compress_tpu(raw, cond,
                                                             coord))
             dwstats, _ = wall(lambda: float(codec.decompress_tpu(

@@ -36,6 +36,21 @@ def med(samples):
     return {"median": round(m, 1), "spread": round(s[-1] - s[0], 1), "n": n}
 
 
+def retry(fn, what, attempts=3, backoff=30):
+    """The relay's remote_compile intermittently drops long responses
+    ('response body closed before all bytes were read'); the compile is
+    lost but the process/device are fine — re-dispatching re-compiles."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if a == attempts - 1:
+                raise
+            log(f"{what}: attempt {a + 1} failed ({type(e).__name__}: "
+                f"{str(e)[:120]}); retrying in {backoff}s")
+            time.sleep(backoff)
+
+
 def main():
     from realcamnet_tpu.entropy.codec import ChARMCodec
     from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
@@ -66,11 +81,9 @@ def main():
 
     res = {"frame": "2160x3840 (packed 1088x1920)", "ckpt": latest}
 
-    log("compiling host-path compress/decompress")
-    out = codec.compress(raw, cond, coord)
-    host_dec = codec.decompress(out["strings"], out["shape"])
-    jax.block_until_ready(host_dec["x_hat"])
-    host_bytes = sum(len(s[0]) for s in out["strings"])
+    def dump():
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
 
     def wall(fn, n=5):
         fn()
@@ -80,6 +93,48 @@ def main():
             fn()
             samples.append((time.perf_counter() - t0) * 1e3)
         return med(samples)
+
+    # ---- Phase 1: wrANS device-decode path (the new r5 result) ----
+    x_tpu = {}
+    for K in lanes_list:
+        tag = f"lanes{K}"
+        log(f"compiling wrANS path K={K}")
+        outw = retry(lambda: codec.compress_tpu(raw, cond, coord,
+                                                num_lanes=K),
+                     "wrans encode compile")
+        dec = retry(lambda: codec.decompress_tpu(
+            outw["blob"], outw["shape"], num_lanes=K, check_states=True),
+            "wrans decode compile")
+        _ = float(dec["check"])
+        x_tpu[K] = np.asarray(jax.device_get(dec["x_hat"]))
+        comp = wall(lambda: codec.compress_tpu(raw, cond, coord,
+                                               num_lanes=K))
+        decw = wall(lambda: float(codec.decompress_tpu(
+            outw["blob"], outw["shape"], num_lanes=K)["check"]))
+        res[tag] = {
+            "compress_tpu_ms": comp,
+            "decompress_tpu_ms": decw,
+            "blob_bytes": len(outw["blob"]),
+            "bpp_tpu": round(len(outw["blob"]) * 8 / (2160 * 3840), 5),
+            "lane_states_ok": True,  # check_states above would have raised
+        }
+        dump()
+        log(f"K={K}: decompress {decw}, compress {comp}, "
+            f"bpp {res[tag]['bpp_tpu']}")
+
+    # ---- Phase 2: host-coded CompressAI-format path (cross-check) ----
+    if os.environ.get("WRANS_HOST", "1") == "0":
+        res["host"] = "skipped (WRANS_HOST=0)"
+        dump()
+        log(f"wrote {OUT} (host path skipped)")
+        return
+    log("compiling host-path compress/decompress")
+    out = retry(lambda: codec.compress(raw, cond, coord),
+                "host compress compile")
+    host_dec = retry(lambda: codec.decompress(out["strings"], out["shape"]),
+                     "host decompress compile")
+    jax.block_until_ready(host_dec["x_hat"])
+    host_bytes = sum(len(s[0]) for s in out["strings"])
 
     res["host_compress_ms"] = wall(
         lambda: codec.compress(raw, cond, coord))
@@ -93,31 +148,13 @@ def main():
     x_host = np.asarray(jax.device_get(host_dec["x_hat"]))
     for K in lanes_list:
         tag = f"lanes{K}"
-        log(f"compiling wrANS path K={K}")
-        outw = codec.compress_tpu(raw, cond, coord, num_lanes=K)
-        dec = codec.decompress_tpu(outw["blob"], outw["shape"], num_lanes=K,
-                                   check_states=True)
-        _ = float(dec["check"])
-        x_tpu = np.asarray(jax.device_get(dec["x_hat"]))
-        err = float(np.abs(x_tpu - x_host).max())
-        comp = wall(lambda: codec.compress_tpu(raw, cond, coord,
-                                               num_lanes=K))
-        decw = wall(lambda: float(codec.decompress_tpu(
-            outw["blob"], outw["shape"], num_lanes=K)["check"]))
-        res[tag] = {
-            "compress_tpu_ms": comp,
-            "decompress_tpu_ms": decw,
-            "blob_bytes": len(outw["blob"]),
-            "bpp_tpu": round(len(outw["blob"]) * 8 / (2160 * 3840), 5),
-            "bpp_overhead_vs_host_pct": round(
-                100 * (len(outw["blob"]) - host_bytes) / host_bytes, 2),
-            "max_abs_err_vs_host_decode": err,
-            "lane_states_ok": True,  # check_states above would have raised
-        }
-        log(f"K={K}: decompress {decw}, compress {comp}, "
-            f"bpp +{res[tag]['bpp_overhead_vs_host_pct']}%, err {err:.2e}")
-    with open(OUT, "w") as f:
-        json.dump(res, f, indent=1)
+        res[tag]["max_abs_err_vs_host_decode"] = float(
+            np.abs(x_tpu[K] - x_host).max())
+        res[tag]["bpp_overhead_vs_host_pct"] = round(
+            100 * (res[tag]["blob_bytes"] - host_bytes) / host_bytes, 2)
+        log(f"K={K}: err vs host {res[tag]['max_abs_err_vs_host_decode']:.2e}"
+            f", bpp +{res[tag]['bpp_overhead_vs_host_pct']}%")
+    dump()
     log(f"wrote {OUT}")
 
 
