@@ -91,7 +91,10 @@ def main():
         args = [jax.random.normal(jax.random.key(i), s, jnp.bfloat16)
                 for i, s in enumerate(shapes)]
         init_args = [a.astype(jnp.float32) for a in args]
-        p = jax.jit(lambda k, *a: module.init(k, *a))(
+        # init must see the same layout arg or it traces the BHCW tensor as
+        # NHWC (C=W) and builds wrong-shaped params.
+        p = jax.jit(lambda k, *a: (module.init(k, *a, lay) if lay
+                                   else module.init(k, *a)))(
             jax.random.key(0), *init_args)
         jax.block_until_ready(p)
 
