@@ -22,6 +22,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 \
 """
 
 import json
+import os
 import time
 
 import jax
@@ -57,7 +58,8 @@ def main():
 
     # ---- 1. whole forward, batch sweep ----
     model = lite_isp_net_gfm_lsc(fused_rcab=True)
-    for b in (1, 2, 4):
+    batches = (() if os.environ.get("ISP_SKIP_BATCH") == "1" else (1, 2, 4))
+    for b in batches:
         raw = jnp.ones((b, H, W, 4), jnp.bfloat16)
         cond = raw
         coord = jnp.ones((b, H, W, 2), jnp.bfloat16)
