@@ -115,12 +115,25 @@ class _WransMixin:
     C++ multi-lane encoder packs ONE wrANS frame: segment 0 = z (factorized
     tables), segments 1..num_slices = y slices (Gaussian tables).
 
-    decompress_tpu(): ONE device dispatch for the entire decode — the wrANS
-    lanes decode z in-program, h_synth and the per-slice parameter passes
-    feed the next segment's lane decode directly, LRP and g_s ride the same
-    program. Zero per-slice host round trips (the host path does
-    num_slices+1 dispatches + as many transfers, each paying fixed relay
-    latency through remote-dispatch backends).
+    decompress_tpu(): two modes, both with ZERO per-slice host transfers
+    (the host path pulls a uint8 index plane and pushes a symbol plane per
+    slice — ~410 ms of the 4K decode wall through remote-dispatch relays).
+
+    mode="staged" (default): the rANS lanes run in small transport-only
+    dispatches BETWEEN the exact same jitted parameter programs the host
+    path uses (_dec_first/_dec_step/_dec_last). Those programs are the ones
+    whose f32 scale->index computation is proven bit-identical to the
+    encode program on real TPU (r4 bisect + whole-set drives); symbols and
+    indexes stay on device. 2*num_slices+2 dispatches, no host coder work.
+
+    mode="monolith": the entire decode (z lanes -> h_synth -> per-slice
+    params -> y lanes -> LRP -> g_s) compiles into ONE XLA program. Fastest
+    choreography, but the monolith's f32 parameter subgraphs are NOT
+    guaranteed to fuse bit-identically to the encode program's — measured
+    on a v5e chip at 4K, one scale index flips and the stream desyncs
+    (artifacts/wrans_chip_check_r05.json; the transport itself is exact,
+    artifacts/wrans_chip_unit_r05.json). Kept for single-program backends
+    and as the measured record; always run check_states=True with it.
     """
 
     DEFAULT_LANES = 1024
@@ -236,16 +249,69 @@ class _WransMixin:
             run, static_argnames=("hy", "wy", "hz", "wz", "zc"))
         return self._dec_tpu[key]
 
+    def _wrans_staged(self, K: int):
+        """Transport-only jitted programs for the staged decode: lane rANS
+        between the host path's (bit-agreement-proven) parameter programs."""
+        from realcamnet_tpu.entropy import wrans
+
+        if not hasattr(self, "_staged_tpu"):
+            self._staged_tpu = {}
+        if K in self._staged_tpu:
+            return self._staged_tpu[K]
+        model, n_gauss = self.model, self._n_gauss
+
+        def fix(syms, lo, n, esc_pos, esc_val):
+            rel = esc_pos - lo
+            rel = jnp.where((esc_pos >= lo) & (esc_pos < lo + n), rel, -1)
+            return syms.at[rel].set(esc_val, mode="drop")
+
+        def z_transport(p, luts, words, states, ptrs, esc_pos, esc_val,
+                        hz, wz, zc):
+            med = model.apply(p, method="eb_medians").astype(jnp.float32)
+            n_z = hz * wz * zc
+            idx_z = jnp.tile(jnp.arange(zc, dtype=jnp.int32), hz * wz) \
+                + n_gauss
+            pad_z = wrans.lane_pad(n_z, K)
+            idx_z = jnp.concatenate(
+                [idx_z, jnp.zeros(pad_z - n_z, jnp.int32)])
+            syms, st, pt = wrans.decode_segment(words, states, ptrs, idx_z,
+                                                luts, n_z, K)
+            syms = fix(syms, 0, n_z, esc_pos, esc_val)
+            z_hat = (syms[:n_z].reshape(1, hz, wz, zc).astype(jnp.float32)
+                     + med[None, None, None, :])
+            return z_hat, st, pt
+
+        def y_transport(luts, words, st, pt, idx_u8, esc_pos, esc_val, lo):
+            idx = idx_u8.astype(jnp.int32).reshape(-1)
+            n_y = idx.shape[0]
+            pad = wrans.lane_pad(n_y, K)
+            idx = jnp.concatenate([idx, jnp.zeros(pad - n_y, jnp.int32)])
+            syms, st, pt = wrans.decode_segment(words, st, pt, idx,
+                                                luts, n_y, K)
+            syms = fix(syms, lo, n_y, esc_pos, esc_val)
+            rv = syms[:n_y].reshape(idx_u8.shape)
+            return rv, st, pt
+
+        self._staged_tpu[K] = (
+            jax.jit(z_transport, static_argnames=("hz", "wz", "zc")),
+            jax.jit(y_transport))
+        return self._staged_tpu[K]
+
     def decompress_tpu(self, blob: bytes, shape: Tuple[int, int],
                        z_channels: int = 192, decode_method: str = "g_s",
                        num_lanes: Optional[int] = None,
-                       check_states: bool = False) -> dict:
+                       check_states: bool = False,
+                       mode: str = "staged") -> dict:
         from realcamnet_tpu.entropy import wrans
 
         frame = wrans.unpack_blob(blob)
         K = num_lanes or len(frame.states)
         assert K == len(frame.states), "lane count mismatch with blob"
         luts = self._wrans_luts()
+        if mode == "staged":
+            return self._decompress_tpu_staged(
+                frame, shape, z_channels, decode_method, K, luts,
+                check_states)
         run = self._wrans_program(K, decode_method)
         base = np.zeros(K, np.int32)
         np.cumsum(frame.counts[:-1].astype(np.int64), out=base[1:])
@@ -267,6 +333,54 @@ class _WransMixin:
         if check_states:
             # Bitstream integrity: every lane must return to the encoder's
             # initial state.
+            assert bool((np.asarray(jax.device_get(st))
+                         == wrans.W_LOW).all()), "wrANS lane state mismatch"
+        return {"x_hat": x_hat, "check": chk}
+
+    def _decompress_tpu_staged(self, frame, shape, z_channels, decode_method,
+                               K, luts, check_states):
+        from realcamnet_tpu.entropy import wrans
+
+        z_tr, y_tr = self._wrans_staged(K)
+        base = np.zeros(K, np.int32)
+        np.cumsum(frame.counts[:-1].astype(np.int64), out=base[1:])
+        e = len(frame.esc_pos)
+        cap = 1 << max(e - 1, 0).bit_length() if e else 0
+        esc_pos = np.full(max(cap, 1), -1, np.int32)
+        esc_val = np.zeros(max(cap, 1), np.int32)
+        esc_pos[:e] = frame.esc_pos
+        esc_val[:e] = frame.esc_val
+        esc_pos = jnp.asarray(esc_pos)
+        esc_val = jnp.asarray(esc_val)
+        words = jnp.asarray(frame.words.astype(np.uint32))
+        hz, wz = shape
+        hy, wy = hz * 4, wz * 4
+        n_z = hz * wz * z_channels
+        z_hat, st, pt = z_tr(self.params, luts, words,
+                             jnp.asarray(frame.states), jnp.asarray(base),
+                             esc_pos, esc_val, hz=hz, wz=wz, zc=z_channels)
+        mu, idx_dev, msup, means, scales = self._dec_first(
+            self.params, z_hat, hy=hy, wy=wy)
+        slices: List[jnp.ndarray] = []
+        n_y = None
+        lo = n_z
+        for i in range(1, self.num_slices + 1):
+            rv, st, pt = y_tr(luts, words, st, pt, idx_dev, esc_pos,
+                              esc_val, jnp.int32(lo))
+            if n_y is None:
+                n_y = int(np.prod(rv.shape))
+            lo += n_y
+            if i < self.num_slices:
+                yh, mu, idx_dev, msup = self._dec_step(
+                    self.params, rv, mu, msup, tuple(slices), means, scales,
+                    i=i)
+                slices.append(yh)
+            else:
+                x_hat, _ = self._dec_last(self.params, rv, mu, msup,
+                                          tuple(slices), i=i - 1,
+                                          decode_method=decode_method)
+        chk = x_hat.sum()
+        if check_states:
             assert bool((np.asarray(jax.device_get(st))
                          == wrans.W_LOW).all()), "wrANS lane state mismatch"
         return {"x_hat": x_hat, "check": chk}

@@ -228,9 +228,17 @@ def test_wrans_device_decode_matches_host_path():
         codec.compress(raw, cond, coord)["strings"],
         codec.compress(raw, cond, coord)["shape"])
     out = codec.compress_tpu(raw, cond, coord, num_lanes=64)
+    # staged (default): transport dispatches between the host path's exact
+    # parameter programs — the mode that holds bit-agreement on real TPU.
     dec = codec.decompress_tpu(out["blob"], out["shape"], num_lanes=64,
                                check_states=True)
     np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                  np.asarray(ref["x_hat"]))
+    # monolith: one-program decode (exact on CPU; see codec.py docstring
+    # for its on-chip bit-agreement caveat).
+    dec_m = codec.decompress_tpu(out["blob"], out["shape"], num_lanes=64,
+                                 check_states=True, mode="monolith")
+    np.testing.assert_array_equal(np.asarray(dec_m["x_hat"]),
                                   np.asarray(ref["x_hat"]))
     # Rate sanity: payload tracks the host strings; the fixed cost is the
     # per-lane header (4B state + 2B count) + frame header, which dominates

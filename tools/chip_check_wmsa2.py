@@ -94,15 +94,25 @@ def main():
     from realcamnet_tpu.models.raw2bit import raw_compression_tcm_final
     from realcamnet_tpu.train.checkpoint import latest_checkpoint, restore_params
 
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)  # kernel numbers land even if the
+        # codec round-trip section below fails
+    ckpt = None
+    for d in ("/root/repo/artifacts/ckpt_sweep_cam_r05/lmbda_0.013",
+              "/root/repo/artifacts/ckpt_sweep12k_r03/lmbda_0.013"):
+        ckpt = latest_checkpoint(d)
+        if ckpt:
+            break
+    if ckpt is None or os.environ.get("WMSA2_SKIP_CODEC") == "1":
+        log("codec round-trip section skipped")
+        return
     model = raw_compression_tcm_final(compute_dtype=jnp.bfloat16)
     h16, w16 = 1088, 1920
     raw = jnp.full((1, h16, w16, 4), 0.5, jnp.float32)
     coord = jnp.zeros((1, h16, w16, 2), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), raw, raw, coord)
     jax.block_until_ready(params)
-    params = restore_params(
-        latest_checkpoint("/root/repo/artifacts/ckpt_sweep12k_r03/lmbda_0.013"),
-        params)
+    params = restore_params(ckpt, params)
     codec = ChARMCodec(model, params)
     codec.update()
     log("compile compress")
