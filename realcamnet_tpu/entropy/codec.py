@@ -87,7 +87,13 @@ def build_factorized_tables(pmf: np.ndarray, tail: np.ndarray,
 
 
 def build_indexes_np(scales: np.ndarray, scale_table: np.ndarray) -> np.ndarray:
-    s = np.maximum(np.asarray(scales, np.float64), SCALES_MIN)
+    # Mirrors entropy.models.build_indexes incl. its bf16 pre-rounding (the
+    # cross-program bitstream-agreement guard) so the numpy spec and the
+    # device programs always pick the same table.
+    import ml_dtypes
+
+    s = np.maximum(np.asarray(scales, np.float32), SCALES_MIN)
+    s = s.astype(ml_dtypes.bfloat16).astype(np.float64)
     return (s[..., None] > np.asarray(scale_table[:-1], np.float64)).sum(-1).astype(np.int32)
 
 

@@ -228,7 +228,20 @@ class GaussianConditional(nn.Module):
 def build_indexes(scales: jnp.ndarray, scale_table: np.ndarray,
                   scale_bound: float = SCALES_MIN) -> jnp.ndarray:
     """Map each scale to its quantized scale-table index (CompressAI
-    `build_indexes` semantics, used at `tcm.py:549,621`)."""
+    `build_indexes` semantics, used at `tcm.py:549,621`).
+
+    The scale is rounded to bf16 BEFORE the threshold comparison: the
+    encoder's and decoder's scales come from separately-compiled XLA
+    programs whose f32 results can differ in the last ulps (fusion-level
+    reassociation survives even pinned-matmul-precision subgraphs), and a
+    single index flip desyncs the rANS stream. bf16 rounding makes the two
+    programs agree unless an ulp difference straddles a bf16 rounding
+    midpoint (~2^-16 of the residual cases; measured: the last remaining
+    slice-4 index flip at 4K, artifacts/wrans_idx_diag_r05.json). Both
+    sides apply the same rounding, so the choice stays self-consistent and
+    the rate impact is nil (the table has 64 log-spaced levels; bf16
+    resolution is ~2^-8 relative)."""
     s = jnp.maximum(scales, scale_bound)
+    s = s.astype(jnp.bfloat16).astype(jnp.float32)
     table = jnp.asarray(scale_table[:-1])
     return jnp.sum(s[..., None] > table, axis=-1).astype(jnp.int32)

@@ -437,19 +437,28 @@ class RawCompression(nn.Module):
         return self.ha_out(h)
 
     def h_synth(self, z_hat, train: bool = False):
-        # f32 always: feeds the entropy parameters, where encoder/decoder
-        # cross-program bit-agreement is required (see slice_params) — and
-        # it is only ~7 ms of the 4K frame.
-        z_hat = z_hat.astype(jnp.float32)
-        hm = self.hms_stem(z_hat)
-        for b in self.hms_blocks:
-            hm = b(hm, train=train) if isinstance(b, ConvTransBlock) else b(hm)
-        means = self.hms_out(hm)
-        hs = self.hss_stem(z_hat)
-        for b in self.hss_blocks:
-            hs = b(hs, train=train) if isinstance(b, ConvTransBlock) else b(hs)
-        scales = self.hss_out(hs)
-        return means, scales
+        # f32 always AND matmul precision pinned 'highest': feeds the
+        # entropy parameters, where encoder/decoder cross-program
+        # bit-agreement is required (see slice_params). f32 dtype alone is
+        # NOT enough on TPU — XLA may decompose f32 matmuls/convs into
+        # different bf16 multi-pass algorithms per program (measured at 4K:
+        # 9632/522k scale indexes differed between the encode program and
+        # _dec_first, artifacts/wrans_idx_diag_r05.json); pinning the
+        # precision fixes the algorithm choice so separately-compiled
+        # programs agree. Costs ~2x on these small subgraphs (~7 ms at 4K).
+        with jax.default_matmul_precision("float32"):
+            z_hat = z_hat.astype(jnp.float32)
+            hm = self.hms_stem(z_hat)
+            for b in self.hms_blocks:
+                hm = (b(hm, train=train) if isinstance(b, ConvTransBlock)
+                      else b(hm))
+            means = self.hms_out(hm)
+            hs = self.hss_stem(z_hat)
+            for b in self.hss_blocks:
+                hs = (b(hs, train=train) if isinstance(b, ConvTransBlock)
+                      else b(hs))
+            scales = self.hss_out(hs)
+            return means, scales
 
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
@@ -467,14 +476,18 @@ class RawCompression(nn.Module):
         desynced symbols ±1e9). f32 agreement is verified by the bit-exact
         round-trip drives."""
         f32 = jnp.float32
-        return self.charm.slice_params(latent_means.astype(f32),
-                                       latent_scales.astype(f32),
-                                       [s.astype(f32) for s in support_slices],
-                                       i)
+        # Matmul precision pinned for cross-program bit-agreement on TPU —
+        # see h_synth (f32 dtype alone leaves the f32->bf16-passes
+        # decomposition to per-program heuristics).
+        with jax.default_matmul_precision("float32"):
+            return self.charm.slice_params(
+                latent_means.astype(f32), latent_scales.astype(f32),
+                [s.astype(f32) for s in support_slices], i)
 
     def slice_lrp(self, mean_support, y_hat_slice, i):
-        return self.charm.slice_lrp(mean_support.astype(jnp.float32),
-                                    y_hat_slice.astype(jnp.float32), i)
+        with jax.default_matmul_precision("float32"):
+            return self.charm.slice_lrp(mean_support.astype(jnp.float32),
+                                        y_hat_slice.astype(jnp.float32), i)
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()

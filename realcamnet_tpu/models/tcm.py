@@ -369,15 +369,19 @@ class TCM(nn.Module):
         return self.ha_out(h)
 
     def h_synth(self, z_hat, train: bool = False):
-        hm = self.hms_stem(z_hat)
-        for b in self.hms_blocks:
-            hm = b(hm, train=train)
-        means = self.hms_out(hm)
-        hs = self.hss_stem(z_hat)
-        for b in self.hss_blocks:
-            hs = b(hs, train=train)
-        scales = self.hss_out(hs)
-        return means, scales
+        # Matmul precision pinned: entropy parameters need cross-program
+        # bit-agreement between the encode and decode compilations — see
+        # RawCompression.h_synth (raw2bit.py) and wrans_idx_diag_r05.json.
+        with jax.default_matmul_precision("float32"):
+            hm = self.hms_stem(z_hat)
+            for b in self.hms_blocks:
+                hm = b(hm, train=train)
+            means = self.hms_out(hm)
+            hs = self.hss_stem(z_hat)
+            for b in self.hss_blocks:
+                hs = b(hs, train=train)
+            scales = self.hss_out(hs)
+            return means, scales
 
     def z_entropy(self, z, train: bool = False):
         """(z_hat for decoding, z_likelihoods): STE round to medians for the
@@ -398,11 +402,13 @@ class TCM(nn.Module):
         return y, self.h_a(y)
 
     def slice_params(self, latent_means, latent_scales, support_slices, i):
-        return self.charm.slice_params(latent_means, latent_scales,
-                                       list(support_slices), i)
+        with jax.default_matmul_precision("float32"):
+            return self.charm.slice_params(latent_means, latent_scales,
+                                           list(support_slices), i)
 
     def slice_lrp(self, mean_support, y_hat_slice, i):
-        return self.charm.slice_lrp(mean_support, y_hat_slice, i)
+        with jax.default_matmul_precision("float32"):
+            return self.charm.slice_lrp(mean_support, y_hat_slice, i)
 
     def eb_medians(self):
         return self.entropy_bottleneck.medians()
