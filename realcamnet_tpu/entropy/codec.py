@@ -142,7 +142,136 @@ class _WransMixin:
     and as the measured record; always run check_states=True with it.
     """
 
-    DEFAULT_LANES = 1024
+    # Lane count trades decode wall against a fixed ~6 B/lane header
+    # (v5e 4K sweep, artifacts/wrans_chip_check_r05.json: K=1024 451 ms
+    # +1.6% rate, 2048 391 ms +3.1%, 4096 356 ms +6.2%, 8192 345 ms
+    # +12.3% — the lock-step scan is sequential-step-bound, so more lanes
+    # = fewer steps until header overhead dominates). 2048 is the knee.
+    DEFAULT_LANES = 2048
+
+    # ---- staged encode: replay the DECODER's executables ----
+    #
+    # The encode side has two ways to compute the entropy parameters
+    # (mu/scale -> rANS table indexes):
+    #
+    # (a) one-dispatch (`compress()` staged=False): the whole ChARM pass in
+    #     one XLA program. Fastest, but that program and the decoder's
+    #     _dec_first/_dec_step programs are DIFFERENT compilations of the
+    #     same math — on real TPU at 4K, XLA's per-program f32 matmul
+    #     decomposition makes ~1 scale index per frame straddle a table
+    #     threshold differently (artifacts/wrans_idx_diag_r05.json), which
+    #     desyncs the range coder from that symbol on.
+    # (b) staged (default here): the encoder calls the EXACT jitted
+    #     executables the decoder will run (_dec_first, then _dec_step per
+    #     slice), feeding them the true symbols as the decoder would feed
+    #     decoded ones. Since decoded symbols equal encoded symbols while
+    #     the stream is intact, every parameter program sees bit-identical
+    #     inputs through identical executables — index agreement is
+    #     guaranteed by construction on ANY backend, no numerics contract
+    #     needed. Costs num_slices+1 extra (transfer-free) dispatches on
+    #     the encode side.
+
+    def _enc_analyze_fn(self, encode_method: str):
+        """Analysis-only program: (y, z symbol planes, z_hat). z_hat is
+        `round(z - med) + med` — elementwise, so it is bit-identical to the
+        decoder's `decoded_syms + med` reconstruction on any backend."""
+        if not hasattr(self, "_enc_analyze"):
+            self._enc_analyze = {}
+        if encode_method not in self._enc_analyze:
+            model = self.model
+
+            def f(p, *a):
+                y, z = model.apply(p, *a, method=encode_method)
+                med = model.apply(p, method="eb_medians")
+                zf = z.astype(jnp.float32)
+                z_sym = jnp.round(zf - med[None, None, None, :])
+                z_hat = z_sym + med[None, None, None, :]
+                return (y, z_sym.astype(jnp.int32), z_sym.astype(jnp.int16),
+                        jnp.max(jnp.abs(z_sym)), z_hat)
+
+            self._enc_analyze[encode_method] = jax.jit(f)
+        return self._enc_analyze[encode_method]
+
+    def _enc_round_fn(self):
+        """sym_i = round(y_i - mu_i): elementwise, encoder-only (no
+        cross-program agreement constraint on y)."""
+        if not hasattr(self, "_enc_round"):
+
+            def rnd(y, mu, i):
+                c = mu.shape[-1]
+                ys = jax.lax.dynamic_slice_in_dim(y, i * c, c, axis=-1)
+                sym = jnp.round(ys.astype(jnp.float32)
+                                - mu.astype(jnp.float32))
+                return (sym.astype(jnp.int32), sym.astype(jnp.int16),
+                        sym.astype(jnp.int8), jnp.max(jnp.abs(sym)))
+
+            self._enc_round = jax.jit(rnd, static_argnames=("i",))
+        return self._enc_round
+
+    def _encode_staged(self, *model_inputs, encode_method: str = "encode",
+                       rv_mode: str = "int32", return_xhat: bool = False,
+                       decode_method: str = "g_s"):
+        """Shared staged-encode core. rv_mode selects the dtype of the
+        symbol planes fed back into _dec_step, which MUST match what the
+        decoder will feed ("int32" for the wrANS device decode;
+        "narrow" = the host decompress()'s narrowest-fitting int8/16/32
+        rule — both sides derive it from the same symbol ranges, so the
+        choice agrees).
+
+        Returns (z_sym (1,hz,wz,C) np.int32, y_syms (S,1,hy,wy,c) np.int32,
+        y_idx (S,1,hy,wy,c) np.int32, x_hat or None).
+
+        With return_xhat=True the last slice also replays _dec_last, so the
+        returned x_hat is the EXACT reconstruction the decoder will produce
+        from an intact stream (same executables, same inputs) — the
+        encoder-side oracle the e2e drives assert against. The eval
+        forward's x_hat is NOT that oracle: its mu/sigma come from a
+        different XLA program and may differ at float-ulp level.
+        """
+        analyze = self._enc_analyze_fn(encode_method)
+        rnd = self._enc_round_fn()
+        y, z32, z16, z_ma_dev, z_hat = analyze(self.params, *model_inputs)
+        hy, wy = int(y.shape[1]), int(y.shape[2])
+        mu, idx, msup, means, scales = self._dec_first(
+            self.params, z_hat, hy=hy, wy=wy)
+        idxs = [idx]
+        planes = []   # (s32, s16, s8) per slice
+        mas = []      # device scalars; pulled lazily per rv_mode
+        slices: List[jnp.ndarray] = []
+        x_hat = None
+        for i in range(self.num_slices):
+            s32, s16, s8, ma = rnd(y, mu, i=i)
+            planes.append((s32, s16, s8))
+            mas.append(ma)
+            if i + 1 < self.num_slices or return_xhat:
+                if rv_mode == "int32":
+                    rv = s32
+                else:
+                    m = int(jax.device_get(ma))
+                    rv = s8 if m < 127 else (s16 if m < 32000 else s32)
+            if i + 1 < self.num_slices:
+                yh, mu, idx, msup = self._dec_step(
+                    self.params, rv, mu, msup, tuple(slices), means, scales,
+                    i=i + 1)
+                slices.append(yh)
+                idxs.append(idx)
+            elif return_xhat:
+                x_hat, _ = self._dec_last(self.params, rv, mu, msup,
+                                          tuple(slices), i=i,
+                                          decode_method=decode_method)
+        # Narrowest plane per slice for the pull (transfer cost only — the
+        # symbols become int32 on host either way).
+        ma_host = [int(v) for v in jax.device_get(mas)]
+        pulls = [p[0] if m >= 32000 else (p[1] if m >= 127 else p[2])
+                 for p, m in zip(planes, ma_host)]
+        z_ma = int(jax.device_get(z_ma_dev))
+        got = jax.device_get([z16 if z_ma < 32000 else z32] + pulls
+                             + list(idxs))
+        z_sym = np.asarray(got[0], np.int32)
+        S = self.num_slices
+        y_syms = np.stack([np.asarray(a, np.int32) for a in got[1:1 + S]])
+        y_idx = np.stack([np.asarray(a, np.int32) for a in got[1 + S:]])
+        return z_sym, y_syms, y_idx, x_hat
 
     def _wrans_tables(self):
         if getattr(self, "_merged", None) is None:
@@ -153,23 +282,35 @@ class _WransMixin:
         return self._merged
 
     def compress_tpu(self, *model_inputs, encode_method: str = "encode",
-                     num_lanes: Optional[int] = None) -> dict:
+                     num_lanes: Optional[int] = None,
+                     staged: bool = True, return_xhat: bool = False) -> dict:
         from realcamnet_tpu.entropy import wrans
 
         K = num_lanes or self.DEFAULT_LANES
         merged = self._wrans_tables()
-        if encode_method not in self._encode:
-            # Shares the compress() encode program (built there on demand).
-            self.compress(*model_inputs, encode_method=encode_method)
-        (z_sym32, z_sym16, z_maxabs, syms32, syms16, syms8, maxabs,
-         idxs) = self._encode[encode_method](self.params, *model_inputs)
-        ma = int(jax.device_get(maxabs))
-        z_ma = int(jax.device_get(z_maxabs))
-        plane = syms8 if ma < 127 else (syms16 if ma < 32000 else syms32)
-        y_syms = np.asarray(jax.device_get(plane), np.int32)  # (S,1,hy,wy,64)
-        y_idx = np.asarray(jax.device_get(idxs), np.int32)
-        z_sym = np.asarray(jax.device_get(
-            z_sym16 if z_ma < 32000 else z_sym32), np.int32)  # (1,hz,wz,C)
+        if staged:
+            # Replay the decoder's executables (see _encode_staged): index
+            # agreement with decompress_tpu is guaranteed by construction.
+            # The staged wrANS decode feeds _dec_step int32 symbols, so the
+            # encode replay does too.
+            z_sym, y_syms, y_idx, x_hat = self._encode_staged(
+                *model_inputs, encode_method=encode_method, rv_mode="int32",
+                return_xhat=return_xhat)
+        else:
+            if encode_method not in self._encode:
+                # Shares the compress() encode program (built on demand).
+                self.compress(*model_inputs, encode_method=encode_method,
+                              staged=False)
+            (z_sym32, z_sym16, z_maxabs, syms32, syms16, syms8, maxabs,
+             idxs) = self._encode[encode_method](self.params, *model_inputs)
+            ma = int(jax.device_get(maxabs))
+            z_ma = int(jax.device_get(z_maxabs))
+            plane = syms8 if ma < 127 else (syms16 if ma < 32000 else syms32)
+            y_syms = np.asarray(jax.device_get(plane), np.int32)
+            y_idx = np.asarray(jax.device_get(idxs), np.int32)
+            z_sym = np.asarray(jax.device_get(
+                z_sym16 if z_ma < 32000 else z_sym32), np.int32)
+            x_hat = None  # one-dispatch encode has no decoder-replay oracle
         hz, wz = z_sym.shape[1:3]
         n_z = z_sym.size
         per_slice = y_syms.shape[2] * y_syms.shape[3] * y_syms.shape[4]
@@ -181,8 +322,11 @@ class _WransMixin:
              + self._n_gauss),
             y_idx.reshape(-1)])
         frame = wrans.encode_lanes(symbols, indexes, seg_starts, merged, K)
-        return {"blob": wrans.pack_blob(frame), "shape": (hz, wz),
-                "num_lanes": K}
+        out = {"blob": wrans.pack_blob(frame), "shape": (hz, wz),
+               "num_lanes": K}
+        if return_xhat and x_hat is not None:
+            out["x_hat"] = x_hat
+        return out
 
     def _wrans_luts(self):
         from realcamnet_tpu.entropy import wrans
@@ -611,16 +755,42 @@ class ChARMCodec(_WransMixin):
 
     # ---- full pipelines ----
 
-    def compress(self, *model_inputs, encode_method: str = "encode"):
-        """Whole encode side as ONE device program: analysis (-> y, z),
-        device z quantization to medians (deterministic rounding — the host
-        z rANS round trip the reference does at `tcm.py:523-534` is
-        unnecessary: the decoder's `sym + medians` reconstruction is
+    def compress(self, *model_inputs, encode_method: str = "encode",
+                 staged: bool = True, return_xhat: bool = False):
+        """Host-rANS (CompressAI-format) encode.
+
+        staged=True (default): entropy parameters come from replaying the
+        decoder's own executables (_encode_staged) — decompress() agreement
+        is guaranteed by construction on any backend. num_slices+1 extra
+        transfer-free dispatches on the encode side.
+
+        staged=False: whole encode side as ONE device program — analysis
+        (-> y, z), device z quantization to medians (deterministic rounding:
+        the host z rANS round trip the reference does at `tcm.py:523-534` is
+        unnecessary, the decoder's `sym + medians` reconstruction is
         bit-identical to the device's `round(z - medians) + medians`),
-        h_synth, and the 5-slice ChARM pass. One dispatch, three pulls
-        (int16 z syms, int16 y syms, uint8 indexes), then host rANS.
+        h_synth, and the 5-slice ChARM pass; one dispatch, three pulls.
+        Fastest, but cross-program f32 bit-agreement with the decode
+        programs is a numerics property, not a guarantee (~1 scale index
+        per 4K frame diverged on a real v5e before the matmul-precision
+        pin + bf16 index rounding; 1 residual diff after —
+        artifacts/wrans_idx_diag_r05.json).
+
         Returns {"strings": [[y_str], [z_str]], "shape": (Hz, Wz)}."""
         assert self.fact is not None, "call update() first"
+        if staged:
+            z_sym, y_syms, y_idx, x_hat = self._encode_staged(
+                *model_inputs, encode_method=encode_method, rv_mode="narrow",
+                return_xhat=return_xhat)
+            z_str = self.compress_z_syms(z_sym[0])
+            y_str = rans.encode_with_indexes(
+                y_syms.reshape(-1), y_idx.reshape(-1), self.gauss.cdfs,
+                self.gauss.cdf_lengths, self.gauss.offsets)
+            out = {"strings": [[y_str], [z_str]],
+                   "shape": z_sym.shape[1:3]}
+            if return_xhat and x_hat is not None:
+                out["x_hat"] = x_hat
+            return out
         if encode_method not in self._encode:
             def f(p, *a):
                 y, z = self.model.apply(p, *a, method=encode_method)

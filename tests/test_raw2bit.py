@@ -245,3 +245,32 @@ def test_wrans_device_decode_matches_host_path():
     # only at toy sizes like this one.
     host_bytes = sum(len(s[0]) for s in codec.compress(raw, cond, coord)["strings"])
     assert len(out["blob"]) < host_bytes * 1.5 + 8 * 64 + 32
+
+
+def test_staged_encode_matches_one_dispatch():
+    """The staged encode (replaying the decoder's executables —
+    _encode_staged) and the one-dispatch encode compute the same math; on a
+    single-threaded CPU backend their streams must be byte-identical. On
+    TPU only the staged path guarantees decoder index agreement (that is
+    its purpose); this test pins that the two paths are the SAME codec,
+    not two formats."""
+    from realcamnet_tpu.entropy.codec import ChARMCodec
+
+    model = raw_compression_tcm_final(**TINY)
+    raw, cond, coord = _inputs()
+    params = model.init(jax.random.key(3), raw, cond, coord)
+    codec = ChARMCodec(model, params)
+    codec.update()
+
+    st = codec.compress(raw, cond, coord, staged=True)
+    od = codec.compress(raw, cond, coord, staged=False)
+    assert st["shape"] == tuple(od["shape"]) or tuple(st["shape"]) == tuple(od["shape"])
+    assert st["strings"][0][0] == od["strings"][0][0]  # y stream
+    assert st["strings"][1][0] == od["strings"][1][0]  # z stream
+    dec = codec.decompress(st["strings"], st["shape"])
+    assert np.isfinite(np.asarray(dec["x_hat"])).all()
+
+    # wrANS framing from both encode modes is likewise identical.
+    wt = codec.compress_tpu(raw, cond, coord, num_lanes=32, staged=True)
+    wo = codec.compress_tpu(raw, cond, coord, num_lanes=32, staged=False)
+    assert wt["blob"] == wo["blob"]
