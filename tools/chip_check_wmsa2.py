@@ -23,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 OUT = os.environ.get("WMSA2_OUT",
-                     "/root/repo/artifacts/wmsa2_chip_check_r04.json")
+                     "/root/repo/artifacts/wmsa2_chip_check_r05.json")
 WB = int(os.environ.get("WB", "16"))
 
 
