@@ -451,7 +451,8 @@ class _WransMixin:
                        z_channels: int = 192, decode_method: str = "g_s",
                        num_lanes: Optional[int] = None,
                        check_states: bool = False,
-                       mode: str = "staged") -> dict:
+                       mode: str = "staged",
+                       timings: Optional[dict] = None) -> dict:
         from realcamnet_tpu.entropy import wrans
 
         frame = wrans.unpack_blob(blob)
@@ -461,7 +462,7 @@ class _WransMixin:
         if mode == "staged":
             return self._decompress_tpu_staged(
                 frame, shape, z_channels, decode_method, K, luts,
-                check_states)
+                check_states, timings)
         run = self._wrans_program(K, decode_method)
         base = np.zeros(K, np.int32)
         np.cumsum(frame.counts[:-1].astype(np.int64), out=base[1:])
@@ -488,8 +489,26 @@ class _WransMixin:
         return {"x_hat": x_hat, "check": chk}
 
     def _decompress_tpu_staged(self, frame, shape, z_channels, decode_method,
-                               K, luts, check_states):
+                               K, luts, check_states, timings=None):
+        """Pass `timings={}` for a per-phase wall breakdown (seconds,
+        cumulative across slices): unpack/push, z_transport, params
+        (_dec_first/_dec_step/_dec_last), y_transport. Instrumentation
+        blocks after every program, which serializes the otherwise fully
+        async dispatch chain — instrumented wall > un-instrumented wall."""
+        import time as _time
+
         from realcamnet_tpu.entropy import wrans
+
+        t = timings
+
+        def _blocked(key, fn, *a, **kw):
+            if t is None:
+                return fn(*a, **kw)
+            t0 = _time.perf_counter()
+            out = fn(*a, **kw)
+            jax.block_until_ready(out)
+            t[key] = t.get(key, 0.0) + (_time.perf_counter() - t0)
+            return out
 
         z_tr, y_tr = self._wrans_staged(K)
         base = np.zeros(K, np.int32)
@@ -506,29 +525,32 @@ class _WransMixin:
         hz, wz = shape
         hy, wy = hz * 4, wz * 4
         n_z = hz * wz * z_channels
-        z_hat, st, pt = z_tr(self.params, luts, words,
-                             jnp.asarray(frame.states), jnp.asarray(base),
-                             esc_pos, esc_val, hz=hz, wz=wz, zc=z_channels)
-        mu, idx_dev, msup, means, scales = self._dec_first(
-            self.params, z_hat, hy=hy, wy=wy)
+        z_hat, st, pt = _blocked(
+            "z_transport", z_tr, self.params, luts, words,
+            jnp.asarray(frame.states), jnp.asarray(base),
+            esc_pos, esc_val, hz=hz, wz=wz, zc=z_channels)
+        mu, idx_dev, msup, means, scales = _blocked(
+            "params", self._dec_first, self.params, z_hat, hy=hy, wy=wy)
         slices: List[jnp.ndarray] = []
         n_y = None
         lo = n_z
         for i in range(1, self.num_slices + 1):
-            rv, st, pt = y_tr(luts, words, st, pt, idx_dev, esc_pos,
-                              esc_val, jnp.int32(lo))
+            rv, st, pt = _blocked(
+                "y_transport", y_tr, luts, words, st, pt, idx_dev, esc_pos,
+                esc_val, jnp.int32(lo))
             if n_y is None:
                 n_y = int(np.prod(rv.shape))
             lo += n_y
             if i < self.num_slices:
-                yh, mu, idx_dev, msup = self._dec_step(
-                    self.params, rv, mu, msup, tuple(slices), means, scales,
-                    i=i)
+                yh, mu, idx_dev, msup = _blocked(
+                    "params", self._dec_step, self.params, rv, mu, msup,
+                    tuple(slices), means, scales, i=i)
                 slices.append(yh)
             else:
-                x_hat, _ = self._dec_last(self.params, rv, mu, msup,
-                                          tuple(slices), i=i - 1,
-                                          decode_method=decode_method)
+                x_hat, _ = _blocked(
+                    "params_last_incl_gs", self._dec_last, self.params, rv,
+                    mu, msup, tuple(slices), i=i - 1,
+                    decode_method=decode_method)
         chk = x_hat.sum()
         if check_states:
             assert bool((np.asarray(jax.device_get(st))
