@@ -230,8 +230,12 @@ def test_wrans_device_decode_matches_host_path():
     out = codec.compress_tpu(raw, cond, coord, num_lanes=64)
     # staged (default): transport dispatches between the host path's exact
     # parameter programs — the mode that holds bit-agreement on real TPU.
+    t = {}
     dec = codec.decompress_tpu(out["blob"], out["shape"], num_lanes=64,
-                               check_states=True)
+                               check_states=True, timings=t)
+    # Phase instrumentation: every program family reported, positive walls.
+    assert {"z_transport", "y_transport", "params",
+            "params_last_incl_gs"} <= set(t) and min(t.values()) > 0
     np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
                                   np.asarray(ref["x_hat"]))
     # monolith: one-program decode (exact on CPU; see codec.py docstring
