@@ -230,6 +230,21 @@ class RawCompression(nn.Module):
     # Perf knobs (outputs stay f32 where entropy math needs it):
     fused_conv: bool = False      # BHCW Pallas conv halves in hybrid blocks
     compute_dtype: Optional[Dtype] = None  # e.g. jnp.bfloat16 transforms
+    # Matmul precision for the entropy-parameter subgraphs (h_synth /
+    # slice_params / slice_lrp). "float32" (default) fixes XLA's f32
+    # decomposition so SEPARATELY-compiled encode/decode programs agree
+    # bit-for-bit — required by the one-dispatch compress(staged=False)
+    # and by exact forward-vs-codec comparisons. The staged encode
+    # (entropy/codec.py) replays the decoder's own executables, so codecs
+    # built staged-only may set None (XLA default precision, faster charm
+    # passes) without risking bitstream desync.
+    entropy_precision: Optional[str] = "float32"
+
+    def _ep(self):
+        from contextlib import nullcontext
+
+        return (jax.default_matmul_precision(self.entropy_precision)
+                if self.entropy_precision else nullcontext())
 
     @property
     def window_size(self):
@@ -446,7 +461,7 @@ class RawCompression(nn.Module):
         # _dec_first, artifacts/wrans_idx_diag_r05.json); pinning the
         # precision fixes the algorithm choice so separately-compiled
         # programs agree. Costs ~2x on these small subgraphs (~7 ms at 4K).
-        with jax.default_matmul_precision("float32"):
+        with self._ep():
             z_hat = z_hat.astype(jnp.float32)
             hm = self.hms_stem(z_hat)
             for b in self.hms_blocks:
@@ -479,13 +494,13 @@ class RawCompression(nn.Module):
         # Matmul precision pinned for cross-program bit-agreement on TPU —
         # see h_synth (f32 dtype alone leaves the f32->bf16-passes
         # decomposition to per-program heuristics).
-        with jax.default_matmul_precision("float32"):
+        with self._ep():
             return self.charm.slice_params(
                 latent_means.astype(f32), latent_scales.astype(f32),
                 [s.astype(f32) for s in support_slices], i)
 
     def slice_lrp(self, mean_support, y_hat_slice, i):
-        with jax.default_matmul_precision("float32"):
+        with self._ep():
             return self.charm.slice_lrp(mean_support.astype(jnp.float32),
                                         y_hat_slice.astype(jnp.float32), i)
 

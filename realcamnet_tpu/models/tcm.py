@@ -369,10 +369,12 @@ class TCM(nn.Module):
         return self.ha_out(h)
 
     def h_synth(self, z_hat, train: bool = False):
-        # Matmul precision pinned: entropy parameters need cross-program
-        # bit-agreement between the encode and decode compilations — see
-        # RawCompression.h_synth (raw2bit.py) and wrans_idx_diag_r05.json.
-        with jax.default_matmul_precision("float32"):
+        # Matmul precision pinned (configurable — see RawCompression
+        # .entropy_precision): entropy parameters need cross-program
+        # bit-agreement between the encode and decode compilations unless
+        # the staged encode is used — see raw2bit.py and
+        # wrans_idx_diag_r05.json.
+        with self._ep():
             hm = self.hms_stem(z_hat)
             for b in self.hms_blocks:
                 hm = b(hm, train=train)
